@@ -1,0 +1,207 @@
+"""Coalescent/migration sufficient statistics, batched over loci.
+
+The reference maintains these incrementally via per-population event chains
+(src/patch.c:2330-2460: recalcStats walks a linked list accumulating
+n(n-1)*dt per population and n*dt per live migration band).  Here they are
+recomputed from scratch as closed-form tensor reductions — no sorting, no
+linked lists:
+
+Every genealogy edge is split into "segments" that each live in one base
+population: the part of edge v below its first migration event (base pop =
+node_pop[v]), plus one segment per migration event (base pop = the band's
+source).  A lineage with base pop q is present in population r at time t
+iff r is ancestral-or-equal to q and t lies in r's window [tau_r, tau_fa(r)]
+— so per-population presence is just interval clipping, and
+
+    coal_stats[r] = sum_{s != s'} |clip_r(s) ^ clip_r(s')|
+                  = (sum of pairwise overlaps) - (sum of lengths)
+    mig_stats[b]  = sum_s |clip_tgt(b)(s) ^ band_window(b)|
+
+which reproduces integral n(n-1) dt and integral n dt exactly.
+
+The root node carries a virtual edge up to OLDAGE so that lineage counts
+above the MRCA (n=1) contribute to migration stats, mirroring the
+reference's root-chain padding (src/patch.c adjustRootEvents).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gphocs_tpu.constants import OLDAGE
+from gphocs_tpu.state import GenState, Params
+
+
+class Segments(NamedTuple):
+    start: jnp.ndarray     # [L, NSEG]
+    end: jnp.ndarray       # [L, NSEG]
+    base_pop: jnp.ndarray  # [L, NSEG] int32
+    valid: jnp.ndarray     # [L, NSEG] bool
+
+
+class CoalStats(NamedTuple):
+    coal_stats: jnp.ndarray  # [L, P] sum n(n-1) dt per pop
+    mig_stats: jnp.ndarray   # [L, B] sum n dt per band window
+    num_coals: jnp.ndarray   # [L, P] int32
+    num_migs: jnp.ndarray    # [L, B] int32
+
+
+def segments(gen: GenState, band_source: jnp.ndarray,
+             oldage: float = OLDAGE) -> Segments:
+    """Build the segment set.  band_source: [B] int32 source pop per band."""
+    L, N = gen.father.shape
+    M = gen.max_migs
+
+    # top of each full edge: father age, or OLDAGE for the root edge
+    fa = gen.father
+    fa_safe = jnp.where(fa < 0, 0, fa)
+    edge_top = jnp.where(
+        fa < 0, jnp.asarray(oldage, gen.age.dtype),
+        jnp.take_along_axis(gen.age, fa_safe, axis=1),
+    )  # [L, N]
+
+    mig_active = gen.mig_branch >= 0                     # [L, M]
+    big = jnp.asarray(jnp.inf, gen.age.dtype)
+    mig_age = jnp.where(mig_active, gen.mig_age, big)    # inactive -> +inf
+
+    # first mig above each edge's child node: min age among migs on the edge
+    # (migs on an edge always lie above the child node age)
+    on_edge = mig_active[:, None, :] & (gen.mig_branch[:, None, :] ==
+                                        jnp.arange(N, dtype=jnp.int32)[None, :, None])
+    first_mig = jnp.min(jnp.where(on_edge, mig_age[:, None, :], big), axis=2)  # [L, N]
+    edge_seg_end = jnp.minimum(edge_top, first_mig)
+
+    # next mig above each mig on the same branch (strictly larger age; ties
+    # broken by slot index for determinism)
+    same_branch = (mig_active[:, :, None] & mig_active[:, None, :] &
+                   (gen.mig_branch[:, :, None] == gen.mig_branch[:, None, :]))
+    age_i = mig_age[:, :, None]
+    age_j = mig_age[:, None, :]
+    idx = jnp.arange(M)
+    later = same_branch & ((age_j > age_i) |
+                           ((age_j == age_i) & (idx[None, None, :] > idx[None, :, None])))
+    next_mig = jnp.min(jnp.where(later, age_j, big), axis=2)  # [L, M]
+    branch_safe = jnp.where(mig_active, gen.mig_branch, 0)
+    branch_top = jnp.take_along_axis(edge_top, branch_safe, axis=1)  # [L, M]
+    mig_seg_end = jnp.minimum(next_mig, branch_top)
+
+    start = jnp.concatenate([gen.age, jnp.where(mig_active, gen.mig_age, 0.0)], axis=1)
+    end = jnp.concatenate([edge_seg_end,
+                           jnp.where(mig_active, mig_seg_end, 0.0)], axis=1)
+    band_safe = jnp.where(mig_active, gen.mig_band, 0)
+    mig_pop = band_source[band_safe]
+    base_pop = jnp.concatenate([gen.node_pop, mig_pop.astype(jnp.int32)], axis=1)
+    valid = jnp.concatenate(
+        [jnp.ones((L, N), bool), mig_active], axis=1)
+    return Segments(start=start, end=end, base_pop=base_pop, valid=valid)
+
+
+def sufficient_stats(gen: GenState, params: Params,
+                     father_pop: jnp.ndarray, is_ancestral: jnp.ndarray,
+                     band_source: jnp.ndarray, band_target: jnp.ndarray,
+                     band_start: jnp.ndarray, band_end: jnp.ndarray,
+                     oldage: float = OLDAGE) -> CoalStats:
+    """Full recomputation of all sufficient statistics.
+
+    father_pop: [P] int32 (-1 root); is_ancestral: [P, P] bool;
+    band_*: [B] band endpoint pops and window times.
+    """
+    P = params.theta.shape[0]
+    S = gen.num_samples
+    segs = segments(gen, band_source, oldage)
+
+    pop_end = jnp.where(father_pop < 0, jnp.asarray(oldage, params.tau.dtype),
+                        params.tau[jnp.where(father_pop < 0, 0, father_pop)])
+
+    anc = jnp.asarray(is_ancestral)
+    # presence of segment s in pop r: [L, P, NSEG]
+    lo = jnp.maximum(segs.start[:, None, :], params.tau[None, :, None])
+    hi = jnp.minimum(segs.end[:, None, :], pop_end[None, :, None])
+    present = segs.valid[:, None, :] & anc[:, segs.base_pop].transpose(1, 0, 2)
+    lo = jnp.where(present, lo, 0.0)
+    hi = jnp.where(present, hi, 0.0)
+    length = jnp.maximum(hi - lo, 0.0)
+
+    # pairwise overlaps within each pop: sum_{s,s'} - diagonal
+    pair = jnp.maximum(
+        jnp.minimum(hi[:, :, :, None], hi[:, :, None, :])
+        - jnp.maximum(lo[:, :, :, None], lo[:, :, None, :]), 0.0)
+    pair = pair * (present[:, :, :, None] & present[:, :, None, :])
+    coal = jnp.sum(pair, axis=(2, 3)) - jnp.sum(length, axis=2)
+
+    # migration stats: lineage-time of the band's target pop inside the window
+    B = band_source.shape[0]
+    if B > 0:
+        lo_t = lo[:, band_target, :]     # [L, B, NSEG]
+        hi_t = hi[:, band_target, :]
+        pres_t = present[:, band_target, :]
+        ov = jnp.maximum(
+            jnp.minimum(hi_t, band_end[None, :, None])
+            - jnp.maximum(lo_t, band_start[None, :, None]), 0.0)
+        mig = jnp.sum(jnp.where(pres_t, ov, 0.0), axis=2)
+        nmig = jnp.sum(
+            ((gen.mig_branch >= 0)[:, None, :]
+             & (gen.mig_band[:, None, :] == jnp.arange(B)[None, :, None])),
+            axis=2).astype(jnp.int32)
+    else:
+        mig = jnp.zeros((gen.num_loci, 0), gen.age.dtype)
+        nmig = jnp.zeros((gen.num_loci, 0), jnp.int32)
+
+    ncoal = jnp.sum(
+        (gen.node_pop[:, S:, None] == jnp.arange(P)[None, None, :]),
+        axis=1).astype(jnp.int32)
+
+    return CoalStats(coal_stats=coal, mig_stats=mig,
+                     num_coals=ncoal, num_migs=nmig)
+
+
+def genealogy_log_prior(stats: CoalStats, params: Params) -> jnp.ndarray:
+    """Per-locus log prior of the genealogy given parameters
+    (reference gtreeLnLikelihood, src/patch.c:2702-2738):
+
+        sum_pop  [ num_coals * log(2/theta) - coal_stats / theta ]
+      + sum_band [ num_migs * log(m) - mig_stats * m ]   (only where m > 0)
+    """
+    th = params.theta
+    lnl = jnp.sum(
+        stats.num_coals * jnp.log(2.0 / th)[None, :]
+        - stats.coal_stats / th[None, :],
+        axis=1)
+    if params.mig_rate.shape[0] > 0:
+        m = params.mig_rate
+        safe_m = jnp.where(m > 0.0, m, 1.0)
+        lnl = lnl + jnp.sum(
+            jnp.where(m[None, :] > 0.0,
+                      stats.num_migs * jnp.log(safe_m)[None, :]
+                      - stats.mig_stats * m[None, :],
+                      0.0),
+            axis=1)
+    return lnl
+
+
+def lineage_presence_integral(gen: GenState, band_source: jnp.ndarray,
+                              pop: jnp.ndarray, w0: jnp.ndarray,
+                              w1: jnp.ndarray, tau: jnp.ndarray,
+                              pop_end: jnp.ndarray, is_ancestral: jnp.ndarray,
+                              exclude_edge: jnp.ndarray = None,
+                              oldage: float = OLDAGE) -> jnp.ndarray:
+    """integral over [w0, w1] of n_pop(t) dt, per locus.
+
+    pop/w0/w1: [L] per-locus query.  Optionally excludes one edge (and its
+    migration segments).  Used by incremental-delta kernels and bounds.
+    """
+    segs = segments(gen, band_source, oldage)
+    anc = jnp.asarray(is_ancestral)
+    present = segs.valid & anc[pop[:, None], segs.base_pop]
+    if exclude_edge is not None:
+        N = gen.num_nodes
+        seg_edge = jnp.concatenate(
+            [jnp.arange(N, dtype=jnp.int32)[None, :].repeat(gen.num_loci, 0),
+             jnp.where(gen.mig_branch >= 0, gen.mig_branch, -2)], axis=1)
+        present = present & (seg_edge != exclude_edge[:, None])
+    lo = jnp.maximum(jnp.maximum(segs.start, w0[:, None]), tau[pop][:, None])
+    hi = jnp.minimum(jnp.minimum(segs.end, w1[:, None]), pop_end[pop][:, None])
+    return jnp.sum(jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=1)

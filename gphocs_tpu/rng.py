@@ -91,8 +91,8 @@ def _div(x: jnp.ndarray, d: float) -> jnp.ndarray:
     parity with the C reference.  Two refinement steps bring the result back
     to <=1 ulp of the true quotient.
     """
-    q = x / d
-    q = q + (x - q * d) / d
+    q = lax.optimization_barrier(x / d)
+    q = lax.optimization_barrier(q + (x - q * d) / d)
     q = q + (x - q * d) / d
     return q
 

@@ -4,15 +4,37 @@ Must set env vars before jax is imported anywhere.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment may inject a TPU-relay site package (axon) via PYTHONPATH
+# that hooks every XLA compile/dispatch and slows CPU work ~400x.  Tests are
+# CPU-only: re-exec once with the hook stripped and the platform forced.
+_pp = os.environ.get("PYTHONPATH", "")
+if "axon_site" in _pp and os.environ.get("GPHOCS_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in _pp.split(":") if "axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPHOCS_TEST_REEXEC"] = "1"
+    import subprocess
+
+    raise SystemExit(subprocess.call(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env))
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+os.environ["JAX_ENABLE_X64"] = "true"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: compile times on shared CI boxes dominate
+# test runtime otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

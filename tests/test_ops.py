@@ -1,0 +1,207 @@
+"""Cross-validation of the tensorized ops (coalstats, pruning) against
+independent numpy reference implementations on random genealogies."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gphocs_tpu.config import parse_control_text
+from gphocs_tpu.model import build_poptree
+from gphocs_tpu.model.poptree import band_times
+from gphocs_tpu.ops import data_log_likelihood, genealogy_log_prior, sufficient_stats
+from gphocs_tpu.rng_host import HostRng
+from gphocs_tpu.sampler.init import (
+    init_gen_state,
+    sample_pop_parameters,
+)
+from gphocs_tpu.state import GenState, Params, SeqData
+
+from tests.test_control import SAMPLE_CTL
+from tests import reference_impl as ref
+
+L = 12  # loci in these tests
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = parse_control_text(SAMPLE_CTL)
+    tree = build_poptree(cfg)
+    rng = HostRng(L + 1, 777)
+    params = sample_pop_parameters(tree, rng)
+    gen = init_gen_state(tree, params, rng, L, np.ones(L))
+    return cfg, tree, params, gen, rng
+
+
+def _inject_migrations(tree, params, gen, seed=3):
+    """Add migration events on the D->B band (band 0) to exercise mig paths.
+
+    A mig event at time t on edge v (child node v, band src->tgt) is
+    consistent if the lineage is in tgt below t; we place events on edges of
+    B-population leaves inside the band window and update nothing else —
+    the stats computations are pure functions of the structure, so validity
+    beyond interval structure is not required for this cross-check.
+    """
+    r = np.random.RandomState(seed)
+    start, end = band_times(tree, params.tau)
+    mig_branch = np.array(gen.mig_branch).copy()
+    mig_band = np.array(gen.mig_band).copy()
+    mig_age = np.array(gen.mig_age).copy()
+    for l in range(gen.num_loci):
+        n_ev = r.randint(0, 4)
+        for k in range(n_ev):
+            v = r.randint(0, gen.num_nodes)
+            top = (gen.age[l, gen.father[l, v]]
+                   if gen.father[l, v] >= 0 else 10.0)
+            lo = max(float(gen.age[l, v]), float(start[0]))
+            hi = min(float(top), float(end[0]))
+            if hi <= lo:
+                continue
+            mig_branch[l, k] = v
+            mig_band[l, k] = 0
+            mig_age[l, k] = lo + r.rand() * (hi - lo)
+    return gen._replace(mig_branch=mig_branch, mig_band=mig_band,
+                        mig_age=mig_age)
+
+
+def _stats_both(tree, params, gen):
+    start, end = band_times(tree, params.tau)
+    stats = sufficient_stats(
+        GenState(*[jnp.asarray(x) for x in gen]),
+        Params(*[jnp.asarray(x) for x in params]),
+        father_pop=jnp.asarray(tree.father),
+        is_ancestral=jnp.asarray(tree.is_ancestral),
+        band_source=jnp.asarray(tree.band_source),
+        band_target=jnp.asarray(tree.band_target),
+        band_start=jnp.asarray(start), band_end=jnp.asarray(end),
+    )
+    refs = []
+    for l in range(gen.num_loci):
+        refs.append(ref.stats_reference(
+            np.array(gen.father[l]), np.array(gen.age[l]),
+            np.array(gen.node_pop[l]), np.array(gen.mig_branch[l]),
+            np.array(gen.mig_band[l]), np.array(gen.mig_age[l]),
+            np.array(tree.band_source), np.array(tree.band_target),
+            np.array(start), np.array(end),
+            np.array(params.tau), np.array(tree.father), tree.num_pops))
+    return stats, refs
+
+
+def test_tree_validity(setup):
+    _, tree, params, gen, _ = setup
+    S = tree.num_samples
+    for l in range(L):
+        # every non-root node has a father with larger age
+        for v in range(2 * S - 1):
+            fa = gen.father[l, v]
+            if v == gen.root[l]:
+                assert fa == -1
+            else:
+                assert fa >= S
+                assert gen.age[l, fa] >= gen.age[l, v]
+        # coal node in pop window
+        for v in range(S, 2 * S - 1):
+            p = gen.node_pop[l, v]
+            assert gen.age[l, v] >= params.tau[p] - 1e-12
+            if tree.father[p] >= 0:
+                assert gen.age[l, v] <= params.tau[tree.father[p]] + 1e-12
+
+
+def test_stats_no_migration(setup):
+    _, tree, params, gen, _ = setup
+    stats, refs = _stats_both(tree, params, gen)
+    for l in range(L):
+        coal, mig, ncoal, nmig = refs[l]
+        np.testing.assert_allclose(np.array(stats.coal_stats[l]), coal,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.array(stats.mig_stats[l]), mig,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_array_equal(np.array(stats.num_coals[l]), ncoal)
+        np.testing.assert_array_equal(np.array(stats.num_migs[l]), nmig)
+
+
+def test_stats_with_migration(setup):
+    _, tree, params, gen, _ = setup
+    gen2 = _inject_migrations(tree, params, gen)
+    stats, refs = _stats_both(tree, params, gen2)
+    total_migs = int(np.sum(np.array(gen2.mig_branch) >= 0))
+    assert total_migs > 0, "test should exercise migration events"
+    for l in range(L):
+        coal, mig, ncoal, nmig = refs[l]
+        np.testing.assert_allclose(np.array(stats.coal_stats[l]), coal,
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.array(stats.mig_stats[l]), mig,
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_array_equal(np.array(stats.num_migs[l]), nmig)
+
+
+def test_log_prior_single_pop_formula(setup):
+    """For the no-migration case the prior is
+    sum_pop ncoal log(2/th) - coalstat/th; check against direct formula."""
+    _, tree, params, gen, _ = setup
+    stats, _ = _stats_both(tree, params, gen)
+    jparams = Params(*[jnp.asarray(x) for x in params])
+    lnp = genealogy_log_prior(stats, jparams)
+    for l in range(2):
+        expect = 0.0
+        for p in range(tree.num_pops):
+            expect += (float(stats.num_coals[l, p])
+                       * np.log(2.0 / params.theta[p])
+                       - float(stats.coal_stats[l, p]) / params.theta[p])
+        np.testing.assert_allclose(float(lnp[l]), expect, rtol=1e-12)
+
+
+def _random_seqdata(gen, P=6, seed=5):
+    r = np.random.RandomState(seed)
+    Lc = gen.num_loci
+    S = gen.num_samples
+    leaf_base = r.randint(0, 5, size=(Lc, S, P)).astype(np.int8)
+    group_id = np.tile(np.arange(P, dtype=np.int32), (Lc, 1))
+    # make patterns 1,2 a phase group of pattern 1
+    group_id[:, 2] = 1
+    group_count = r.randint(1, 20, size=(Lc, P)).astype(float)
+    group_count[:, 2] = 0.0  # count only carried on group leader
+    group_nphases = np.ones((Lc, P))
+    group_nphases[:, 1] = 2.0
+    pattern_valid = np.ones((Lc, P), bool)
+    pattern_valid[:, P - 1] = False  # padding column
+    group_count[:, P - 1] = 0.0
+    return SeqData(
+        leaf_base=leaf_base, group_id=group_id,
+        group_count=group_count, group_nphases=group_nphases,
+        pattern_valid=pattern_valid,
+    )
+
+
+def test_pruning_matches_reference(setup):
+    _, tree, params, gen, _ = setup
+    seq = _random_seqdata(gen)
+    jgen = GenState(*[jnp.asarray(x) for x in gen])
+    jseq = SeqData(*[jnp.asarray(x) for x in seq])
+    lnl = data_log_likelihood(jgen, jseq)
+    for l in range(L):
+        expect = ref.pruning_reference(
+            np.array(gen.father[l]), np.array(gen.lson[l]),
+            np.array(gen.rson[l]), np.array(gen.age[l]),
+            int(gen.root[l]), float(gen.mut_rate[l]),
+            np.array(seq.leaf_base[l]), np.array(seq.group_id[l]),
+            np.array(seq.group_count[l]), np.array(seq.group_nphases[l]),
+            np.array(seq.pattern_valid[l]))
+        np.testing.assert_allclose(float(lnl[l]), expect, rtol=1e-10)
+
+
+def test_pruning_all_n_is_zero(setup):
+    """All-missing data must give likelihood log(1)=0 per pattern group
+    with zero counts contributing nothing."""
+    _, tree, params, gen, _ = setup
+    P = 4
+    seq = SeqData(
+        leaf_base=np.full((L, gen.num_samples, P), 4, np.int8),
+        group_id=np.tile(np.arange(P, dtype=np.int32), (L, 1)),
+        group_count=np.zeros((L, P)),
+        group_nphases=np.ones((L, P)),
+        pattern_valid=np.zeros((L, P), bool),
+    )
+    jgen = GenState(*[jnp.asarray(x) for x in gen])
+    jseq = SeqData(*[jnp.asarray(x) for x in seq])
+    lnl = data_log_likelihood(jgen, jseq)
+    np.testing.assert_allclose(np.array(lnl), 0.0)
