@@ -88,6 +88,7 @@ class MCMCSettings:
     mut_rate_mode: int = 0
     var_rates_alpha: float = -1.0
     rate_file: str = "NONE"
+    genetree_samples: int = 1  # fixed at 1 in the reference (initGeneralInfo)
     find_finetunes: bool = False
     find_finetunes_num_steps: int = 100
     find_finetunes_samples_per_step: int = 100

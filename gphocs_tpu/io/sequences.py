@@ -1,0 +1,143 @@
+"""Sequence file reading and SeqData tensor assembly.
+
+File format (reference src/AlignmentProcessor.c:468-730, manual §5):
+
+    <numLoci>
+    <locusName> <numSamples> <seqLength>
+    <sampleName> <sequence>
+    ...
+
+Sample names are matched against the control file's sample list; samples
+absent from a locus become all-'N'.  A diploid sample occupies two haploid
+slots; its (single) genotype sequence is stored at the first slot and the
+second is treated as missing at the column level (the genotype is split
+into a base pair during phasing — io/patterns.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from gphocs_tpu.io.patterns import (
+    PatternSet,
+    build_locus_phased,
+    encode_leaf_bases,
+)
+from gphocs_tpu.state import SeqData
+
+VALID_BASES = set("TCAGUYRWSKMBDHVN-")
+
+_NORMALIZE = {"U": "T", "-": "N"}
+
+
+@dataclass
+class RawAlignments:
+    num_loci: int
+    locus_names: List[str]
+    pattern_set: PatternSet
+
+
+def read_seq_file(path: str, sample_names: List[str],
+                  num_loci_limit: int = -1) -> RawAlignments:
+    """Read + canonize a sequence file into a deduplicated PatternSet."""
+    with open(path) as f:
+        toks = f.read().split()
+    pos = 0
+
+    def next_tok() -> str:
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of sequence file")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    num_loci = int(next_tok())
+    if 0 < num_loci_limit < num_loci:
+        num_loci = num_loci_limit
+
+    S = len(sample_names)
+    name_index = {}
+    for i, nm in enumerate(sample_names):
+        if nm:
+            name_index[nm] = i
+
+    pset = PatternSet()
+    locus_names = []
+    for locus in range(num_loci):
+        lname = next_tok()
+        nsamp = int(next_tok())
+        slen = int(next_tok())
+        seqs: List[Optional[str]] = [None] * S
+        for _ in range(nsamp):
+            sname = next_tok()
+            seq = next_tok().upper()
+            if len(seq) != slen:
+                raise ValueError(
+                    f"locus {lname!r}: sequence of {sname!r} has length "
+                    f"{len(seq)}, expected {slen}")
+            bad = set(seq) - VALID_BASES
+            if bad:
+                raise ValueError(
+                    f"locus {lname!r}: illegal characters {bad} in "
+                    f"sequence of {sname!r}")
+            for a, b in _NORMALIZE.items():
+                seq = seq.replace(a, b)
+            idx = name_index.get(sname)
+            if idx is not None:
+                seqs[idx] = seq
+        columns = []
+        for site in range(slen):
+            col = "".join(
+                (seqs[s][site] if seqs[s] is not None else "N")
+                for s in range(S))
+            columns.append(col)
+        pset.add_locus(columns)
+        locus_names.append(lname)
+    return RawAlignments(num_loci=num_loci, locus_names=locus_names,
+                         pattern_set=pset)
+
+
+def build_seq_data(raw: RawAlignments, is_diploid: List[bool],
+                   pad_patterns: Optional[int] = None,
+                   dtype=np.float64) -> SeqData:
+    """Phase het patterns per locus and assemble the padded SeqData tensors."""
+    pset = raw.pattern_set
+    L = raw.num_loci
+    S = len(is_diploid)
+
+    per_locus = []
+    max_p = 1
+    for locus in range(L):
+        profile = pset.locus_profiles[locus]
+        pats = [pset.patterns[pid] for pid, _ in profile]
+        counts = [c for _, c in profile]
+        phased, gid, gcounts, gph = build_locus_phased(
+            pats, counts, is_diploid)
+        per_locus.append((phased, gid, gcounts, gph))
+        max_p = max(max_p, len(phased))
+
+    P = pad_patterns or max_p
+    if P < max_p:
+        raise ValueError(f"pad_patterns={P} below max patterns {max_p}")
+
+    leaf_base = np.full((L, S, P), 4, np.int8)
+    group_id = np.tile(np.arange(P, dtype=np.int32), (L, 1))
+    group_count = np.zeros((L, P), dtype)
+    group_nphases = np.ones((L, P), dtype)
+    pattern_valid = np.zeros((L, P), bool)
+    for locus, (phased, gid, gcounts, gph) in enumerate(per_locus):
+        n = len(phased)
+        if n:
+            leaf_base[locus, :, :n] = encode_leaf_bases(phased).T
+            group_id[locus, :n] = np.asarray(gid, np.int32)
+            pattern_valid[locus, :n] = True
+        for g, (c, k) in enumerate(zip(gcounts, gph)):
+            group_count[locus, g] = c
+            group_nphases[locus, g] = k
+    return SeqData(leaf_base=leaf_base, group_id=group_id,
+                   group_count=group_count, group_nphases=group_nphases,
+                   pattern_valid=pattern_valid)

@@ -1,0 +1,161 @@
+"""Shared static context + helpers for the MH update kernels."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gphocs_tpu.constants import OLDAGE
+from gphocs_tpu.model.poptree import PopTree
+from gphocs_tpu.state import GenState, Params
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Context:
+    """Static (per-run) population-tree context.
+
+    Array fields are pytree children (flow through jit); `root_pop`,
+    `num_cur_pops` and `oldage` are static metadata usable in python
+    control flow.  Band *windows* are functions of tau and are recomputed
+    inside kernels via `band_windows`.
+    """
+
+    father_pop: jnp.ndarray     # [P] int32
+    pop_sons: jnp.ndarray       # [P, 2] int32
+    is_ancestral: jnp.ndarray   # [P, P] bool
+    band_source: jnp.ndarray    # [B] int32
+    band_target: jnp.ndarray    # [B] int32
+    theta_alpha: jnp.ndarray    # [P]
+    theta_beta: jnp.ndarray
+    tau_alpha: jnp.ndarray
+    tau_beta: jnp.ndarray
+    mig_alpha: jnp.ndarray      # [B]
+    mig_beta: jnp.ndarray
+    sample_pop: jnp.ndarray     # [S] int32
+    update_sample_age: jnp.ndarray  # [P] bool
+    root_pop: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_cur_pops: int = dataclasses.field(metadata=dict(static=True),
+                                          default=0)
+    oldage: float = dataclasses.field(metadata=dict(static=True),
+                                      default=OLDAGE)
+
+    @property
+    def num_pops(self) -> int:
+        return self.father_pop.shape[0]
+
+    @property
+    def num_bands(self) -> int:
+        return self.band_source.shape[0]
+
+
+def make_context(tree: PopTree, dtype=jnp.float64) -> Context:
+    return Context(
+        father_pop=jnp.asarray(tree.father),
+        pop_sons=jnp.asarray(tree.sons),
+        is_ancestral=jnp.asarray(tree.is_ancestral),
+        band_source=jnp.asarray(tree.band_source),
+        band_target=jnp.asarray(tree.band_target),
+        theta_alpha=jnp.asarray(tree.theta_alpha, dtype),
+        theta_beta=jnp.asarray(tree.theta_beta, dtype),
+        tau_alpha=jnp.asarray(tree.tau_alpha, dtype),
+        tau_beta=jnp.asarray(tree.tau_beta, dtype),
+        mig_alpha=jnp.asarray(tree.mig_alpha, dtype),
+        mig_beta=jnp.asarray(tree.mig_beta, dtype),
+        sample_pop=jnp.asarray(tree.sample_pop),
+        update_sample_age=jnp.asarray(tree.update_sample_age),
+        root_pop=int(tree.root_pop),
+        num_cur_pops=int(tree.num_cur_pops),
+        oldage=OLDAGE,
+    )
+
+
+def band_windows(ctx: Context, tau: jnp.ndarray):
+    """[B] band start/end from current taus
+    (reference src/PopulationTree.c:439-505)."""
+    if ctx.num_bands == 0:
+        z = jnp.zeros((0,), tau.dtype)
+        return z, z
+    src, tgt = ctx.band_source, ctx.band_target
+    start = jnp.maximum(tau[src], tau[tgt])
+    end = jnp.minimum(tau[ctx.father_pop[src]], tau[ctx.father_pop[tgt]])
+    collapsed = start >= end
+    start = jnp.where(collapsed, tau[tgt], start)
+    end = jnp.where(collapsed, tau[tgt], end)
+    return start, end
+
+
+def pop_end(ctx: Context, tau: jnp.ndarray) -> jnp.ndarray:
+    """[P] top of each pop's window (tau of father, OLDAGE for root)."""
+    fa = ctx.father_pop
+    return jnp.where(fa < 0, jnp.asarray(ctx.oldage, tau.dtype),
+                     tau[jnp.where(fa < 0, 0, fa)])
+
+
+def full_stats(gen: GenState, params: Params, ctx: Context):
+    """Sufficient statistics with band windows derived from current taus."""
+    from gphocs_tpu.ops.coalstats import sufficient_stats
+
+    bs, be = band_windows(ctx, params.tau)
+    return sufficient_stats(
+        gen, params, father_pop=ctx.father_pop,
+        is_ancestral=ctx.is_ancestral, band_source=ctx.band_source,
+        band_target=ctx.band_target, band_start=bs, band_end=be,
+        oldage=ctx.oldage)
+
+
+def gen_log_prior(gen: GenState, params: Params, ctx: Context) -> jnp.ndarray:
+    from gphocs_tpu.ops.coalstats import genealogy_log_prior
+
+    return genealogy_log_prior(full_stats(gen, params, ctx), params)
+
+
+def first_mig_above(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):
+    """Per locus: min age of active migration events on edge `node` with age
+    > `age` (reference findFirstMig, src/patch.c:397).  Returns +inf when
+    none.  node/age: [L]."""
+    big = jnp.asarray(jnp.inf, gen.age.dtype)
+    on = (gen.mig_branch == node[:, None]) & (gen.mig_branch >= 0) \
+        & (gen.mig_age > age[:, None])
+    return jnp.min(jnp.where(on, gen.mig_age, big), axis=1)
+
+
+def last_mig_below(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):
+    """Per locus: max age of active migs on edge `node` with age < `age`
+    (reference findLastMig, src/patch.c:374).  Returns -inf when none."""
+    small = jnp.asarray(-jnp.inf, gen.age.dtype)
+    on = (gen.mig_branch == node[:, None]) & (gen.mig_branch >= 0) \
+        & (gen.mig_age < age[:, None])
+    return jnp.max(jnp.where(on, gen.mig_age, small), axis=1)
+
+
+def mh_accept(rng_state, lnacc: jnp.ndarray, mask: jnp.ndarray):
+    """Vectorized MH decision mirroring the reference's short-circuit:
+    the uniform is only consumed when lnacceptance < 0
+    (e.g. src/GPhoCS.c:2383).  lnacc/mask: [L] over locus lanes; the rng
+    state has L+1 slots.  Returns (accept [L], rng_state)."""
+    from gphocs_tpu import rng as R
+
+    L = lnacc.shape[0]
+    need_u = mask & (lnacc < 0.0)
+    lane_mask = jnp.concatenate([need_u, jnp.zeros((1,), bool)])
+    u, rng_state = R.rndu(rng_state, lane_mask)
+    accept = mask & ((lnacc >= 0.0) | (u[:L] < jnp.exp(jnp.minimum(lnacc, 0.0))))
+    return accept, rng_state
+
+
+def scalar_mh_accept(rng_state, lnacc, conflict=False):
+    """MH decision on the general stream (scalar lnacc)."""
+    from gphocs_tpu import rng as R
+
+    n = rng_state.x.shape[0]
+    need_u = jnp.logical_and(jnp.logical_not(conflict), lnacc < 0.0)
+    mask = jnp.zeros((n,), bool).at[n - 1].set(need_u)
+    u, rng_state = R.rndu(rng_state, mask)
+    accept = jnp.logical_and(
+        jnp.logical_not(conflict),
+        jnp.logical_or(lnacc >= 0.0,
+                       u[n - 1] < jnp.exp(jnp.minimum(lnacc, 0.0))))
+    return accept, rng_state

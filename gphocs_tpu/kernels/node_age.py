@@ -1,0 +1,100 @@
+"""UpdateGB_InternalNode: random-walk updates of coalescent-node ages.
+
+Mirrors reference src/GPhoCS.c:2287-2428.  Nodes are swept sequentially
+(inner `lax.scan` over node index, matching the C per-locus sweep order);
+all loci update in parallel at each step.
+
+Per node per locus:
+  bounds  tb0 = max(pop age, per-son last-mig-age-or-son-age)
+          tb1 = min(father-pop age | OLDAGE,
+                    first-mig-age | father age (unless locus root))
+  tnew    = reflect(t + finetune * rnd2normal8, tb0, tb1)
+  lnacc   = [lnP(G') - lnP(G)] + [lnld'(X) - lnld(X)]
+  a |tnew - t| < 1e-15 proposal is counted accepted without further draws
+  (reference :2358-2362).
+
+The genealogy-prior delta is obtained by full recomputation of the
+sufficient statistics on the proposed state (mathematically identical to
+the reference's event-chain delta walk, src/patch.c:1434-1530).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from gphocs_tpu import rng as R
+from gphocs_tpu.kernels.common import (
+    Context,
+    first_mig_above,
+    gen_log_prior,
+    last_mig_below,
+    mh_accept,
+)
+from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.state import GenState, Params, SeqData
+from gphocs_tpu.utils import reflect
+
+
+def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
+                              rng_state, ctx: Context, finetune,
+                              lnld: jnp.ndarray, lnp: jnp.ndarray):
+    """One full sweep over all internal nodes.
+
+    lnld/lnp: current per-locus data log-likelihood and genealogy log-prior
+    (carried to avoid recomputation).  Returns
+    (gen, rng_state, lnld, lnp, accepted_count).
+    """
+    L = gen.num_loci
+    S = gen.num_samples
+    N = gen.num_nodes
+    loci_mask = jnp.ones((L,), bool)
+    lane_pad = jnp.zeros((1,), bool)
+
+    def body(carry, inode):
+        gen, rng_state, lnld, lnp, acc = carry
+        t = gen.age[:, inode]
+        pop = gen.node_pop[:, inode]
+
+        tb0 = params.tau[pop]
+        tb1 = jnp.where(pop == ctx.root_pop,
+                        jnp.asarray(ctx.oldage, t.dtype),
+                        params.tau[ctx.father_pop[pop]])
+        # upper bound: first mig on own edge, else father age (locus root has none)
+        node_vec = jnp.full((L,), inode, jnp.int32)
+        fm = first_mig_above(gen, node_vec, jnp.full((L,), -jnp.inf, t.dtype))
+        is_root = gen.root == inode
+        fa = gen.father[:, inode]
+        fa_age = gen.age[jnp.arange(L), jnp.where(fa < 0, 0, fa)]
+        upper2 = jnp.where(jnp.isfinite(fm), fm,
+                           jnp.where(is_root, jnp.inf, fa_age))
+        tb1 = jnp.minimum(tb1, upper2)
+        # lower bound: per son, last mig on son's edge else son age
+        for son in (gen.lson[:, inode], gen.rson[:, inode]):
+            lm = last_mig_below(gen, son, jnp.full((L,), jnp.inf, t.dtype))
+            son_age = gen.age[jnp.arange(L), son]
+            tb0 = jnp.maximum(tb0, jnp.where(jnp.isfinite(lm), lm, son_age))
+
+        z, rng_state = R.rnd2normal8(
+            rng_state, jnp.concatenate([loci_mask, lane_pad]))
+        tnew = reflect(t + finetune * z[:L], tb0, tb1)
+        tiny = jnp.abs(tnew - t) < 1e-15
+
+        gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))
+        lnld_prop = data_log_likelihood(gen_prop, seq)
+        lnp_prop = gen_log_prior(gen_prop, params, ctx)
+        lnacc = (lnp_prop - lnp) + (lnld_prop - lnld)
+
+        accept, rng_state = mh_accept(rng_state, lnacc, ~tiny)
+        take = accept  # tiny moves keep the old age but count as accepted
+        new_age = jnp.where(take, tnew, t)
+        gen = gen._replace(age=gen.age.at[:, inode].set(new_age))
+        lnld = jnp.where(take, lnld_prop, lnld)
+        lnp = jnp.where(take, lnp_prop, lnp)
+        acc = acc + jnp.sum((accept | tiny).astype(jnp.int32), dtype=jnp.int32)
+        return (gen, rng_state, lnld, lnp, acc), None
+
+    init = (gen, rng_state, lnld, lnp, jnp.zeros((), jnp.int32))
+    (gen, rng_state, lnld, lnp, acc), _ = lax.scan(
+        body, init, jnp.arange(S, N, dtype=jnp.int32))
+    return gen, rng_state, lnld, lnp, acc

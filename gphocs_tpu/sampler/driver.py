@@ -1,0 +1,341 @@
+"""Sampler driver: the performMCMC orchestration loop.
+
+Mirrors reference src/GPhoCS.c:1232-2267: initialization, burn-in +
+sampling loop with the per-iteration update schedule (sampler/step.py),
+start-mig gating, trace emission, acceptance-rate logging and the dynamic
+finetune binary search (reference :1898-2250, constants src/GPhoCS.h:21-25).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gphocs_tpu import rng as R
+from gphocs_tpu.constants import (
+    FINETUNE_RESOLUTION,
+    MAX_FINETUNE,
+    TARGET_ACCEPTANCE_PERCENT,
+    TARGET_ACCEPTANCE_RANGE,
+)
+from gphocs_tpu.config.settings import RunConfig
+from gphocs_tpu.io import trace as trace_io
+from gphocs_tpu.io.sequences import build_seq_data, read_seq_file
+from gphocs_tpu.kernels.common import make_context
+from gphocs_tpu.model.poptree import PopTree, build_poptree
+from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.kernels.common import gen_log_prior
+from gphocs_tpu.rng_host import HostRng
+from gphocs_tpu.sampler.init import (
+    init_gen_state,
+    sample_locus_rates,
+    sample_pop_parameters,
+)
+from gphocs_tpu.sampler.step import Finetunes, mcmc_iteration
+from gphocs_tpu.state import GenState, Params, SeqData
+
+
+@dataclass
+class _FinetuneSearch:
+    """One binary-search tracker (reference src/GPhoCS.c:1898-2250)."""
+
+    value: float
+    lo: float = 0.0
+    hi: float = MAX_FINETUNE
+
+    def adjust(self, percent: float) -> float:
+        if percent > TARGET_ACCEPTANCE_PERCENT + TARGET_ACCEPTANCE_RANGE:
+            self.lo = self.value
+            if self.hi - self.lo < FINETUNE_RESOLUTION:
+                if self.hi >= MAX_FINETUNE:
+                    self.hi = self.lo = MAX_FINETUNE
+                else:
+                    self.hi *= 2.0
+        elif percent < TARGET_ACCEPTANCE_PERCENT - TARGET_ACCEPTANCE_RANGE:
+            self.hi = self.value
+            if self.hi - self.lo < FINETUNE_RESOLUTION:
+                self.lo /= 2.0
+        self.value = 0.5 * (self.hi + self.lo)
+        return self.value
+
+
+@dataclass
+class AcceptCounts:
+    coal_time: int = 0
+    mig_time: int = 0
+    spr: int = 0
+    theta: int = 0
+    mig_rate: int = 0
+    taus: Optional[np.ndarray] = None
+    mixing: int = 0
+    conflicts: int = 0
+    mig_nodes: int = 0
+
+    def reset(self, P: int):
+        self.coal_time = self.mig_time = self.spr = 0
+        self.theta = self.mig_rate = self.mixing = 0
+        self.conflicts = self.mig_nodes = 0
+        self.taus = np.zeros(P, int)
+
+
+class Sampler:
+    """End-to-end sampler for one control-file configuration."""
+
+    def __init__(self, cfg: RunConfig, seq_path: Optional[str] = None,
+                 num_loci: Optional[int] = None, dtype=jnp.float64,
+                 legacy_rng: bool = True, verbose: bool = False):
+        self.cfg = cfg
+        self.tree: PopTree = build_poptree(cfg)
+        self.ctx = make_context(self.tree, dtype)
+        self.dtype = dtype
+        self.verbose = verbose
+
+        seed = cfg.mcmc.random_seed
+        if seed < 0:
+            seed = int(time.time())
+        self.seed = seed
+
+        if seq_path is None and cfg.mcmc.seq_file != "NONE":
+            seq_path = cfg.mcmc.seq_file
+        if seq_path is not None:
+            raw = read_seq_file(seq_path, cfg.sample_names,
+                                cfg.mcmc.num_loci)
+            self.num_loci = raw.num_loci
+            np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+            self.seq: SeqData = build_seq_data(raw, cfg.is_diploid(),
+                                               dtype=np_dtype)
+        else:
+            # prior-only run (reference initLociWithoutData,
+            # src/GPhoCS.c:447-483)
+            assert num_loci or cfg.mcmc.num_loci > 0, \
+                "num-loci required without sequence data"
+            self.num_loci = num_loci or cfg.mcmc.num_loci
+            S = cfg.num_samples
+            self.seq = SeqData(
+                leaf_base=np.full((self.num_loci, S, 1), 4, np.int8),
+                group_id=np.zeros((self.num_loci, 1), np.int32),
+                group_count=np.zeros((self.num_loci, 1)),
+                group_nphases=np.ones((self.num_loci, 1)),
+                pattern_valid=np.zeros((self.num_loci, 1), bool),
+            )
+        self.seq = SeqData(*[jnp.asarray(x) for x in self.seq])
+        self.host_rng = HostRng(self.num_loci + 1, seed, legacy=legacy_rng)
+        self.trace_rows: List[str] = []
+
+    # -- initialization (reference initializeMCMC, src/GPhoCS.c:1122) --
+    def initialize(self):
+        cfg = self.cfg
+        params = sample_pop_parameters(self.tree, self.host_rng)
+        rates, self.rate_var = sample_locus_rates(
+            self.num_loci, cfg.mcmc.mut_rate_mode, self.host_rng)
+        gen_np = init_gen_state(self.tree, params, self.host_rng,
+                                self.num_loci, rates)
+        self.gen = GenState(*[jnp.asarray(x) for x in gen_np])
+        cast = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
+        self.gen = self.gen._replace(age=cast(gen_np.age),
+                                     mig_age=cast(gen_np.mig_age),
+                                     mut_rate=cast(gen_np.mut_rate))
+        self.params = Params(theta=cast(params.theta), tau=cast(params.tau),
+                             sample_age=cast(params.sample_age),
+                             mig_rate=cast(params.mig_rate))
+        x, y, z = self.host_rng.state_arrays()
+        self.rng_state = R.RngState(x=jnp.asarray(x), y=jnp.asarray(y),
+                                    z=jnp.asarray(z))
+        self.lnld = data_log_likelihood(self.gen, self.seq)
+        self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
+
+        ftc = cfg.mcmc.finetunes
+        if cfg.mcmc.find_finetunes:
+            # reference seeds the search at 1.0 for unspecified finetunes
+            seedv = lambda v: v if v > 0 else 1.0  # noqa: E731
+        else:
+            seedv = lambda v: v  # noqa: E731
+        self.ft_search = {
+            "coal_time": _FinetuneSearch(seedv(ftc.coal_time)),
+            "mig_time": _FinetuneSearch(seedv(ftc.mig_time)),
+            "theta": _FinetuneSearch(seedv(ftc.theta)),
+            "mig_rate": _FinetuneSearch(seedv(ftc.mig_rate)),
+            "mixing": _FinetuneSearch(seedv(ftc.mixing)),
+        }
+        self.ft_taus = [
+            _FinetuneSearch(seedv(v) if v > 0 or cfg.mcmc.find_finetunes
+                            else v)
+            for v in ftc.taus
+        ]
+        self._update_ft_device()
+
+    def _update_ft_device(self):
+        self.ft = Finetunes(
+            coal_time=jnp.asarray(self.ft_search["coal_time"].value,
+                                  self.dtype),
+            mig_time=jnp.asarray(self.ft_search["mig_time"].value,
+                                 self.dtype),
+            theta=jnp.asarray(self.ft_search["theta"].value, self.dtype),
+            mig_rate=jnp.asarray(self.ft_search["mig_rate"].value,
+                                 self.dtype),
+            mixing=jnp.asarray(self.ft_search["mixing"].value, self.dtype),
+            taus=jnp.asarray([t.value for t in self.ft_taus], self.dtype),
+        )
+
+    def _sample_mig_rates_device(self):
+        """m ~ U[0.9, 1.1] * prior mean via the general stream
+        (reference sampleMigRates, src/PopulationTree.c:414-433)."""
+        B = self.tree.num_bands
+        rates = []
+        for b in range(B):
+            u, self.rng_state = R.general_draw_u(self.rng_state)
+            mean = self.tree.mig_alpha[b] / self.tree.mig_beta[b]
+            rates.append(mean * (0.9 + 0.2 * u))
+        if B:
+            self.params = self.params._replace(
+                mig_rate=jnp.stack(rates).astype(self.dtype))
+        # refresh genealogy prior under the new rates
+        self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
+
+    def step(self, do_migrate: bool):
+        cfg = self.cfg
+        ft = self.ft
+        sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
+                                [:self.tree.num_cur_pops])
+        (self.gen, self.params, self.rng_state, self.lnld, self.lnp,
+         stats) = mcmc_iteration(
+            self.gen, self.params, self.seq, self.rng_state, self.lnld,
+            self.lnp, ft, ctx=self.ctx,
+            genetree_samples=cfg.mcmc.genetree_samples,
+            do_migrate=do_migrate,
+            do_mixing=cfg.mcmc.do_mixing,
+            num_pops=self.tree.num_pops,
+            num_cur_pops=self.tree.num_cur_pops,
+            sample_age_mask=sample_age_mask,
+            coal_time_on=self.ft_search["coal_time"].value > 0,
+            mig_time_on=self.ft_search["mig_time"].value > 0,
+            theta_on=self.ft_search["theta"].value > 0,
+            mig_rate_on=self.ft_search["mig_rate"].value > 0,
+            mixing_on=self.ft_search["mixing"].value > 0,
+        )
+        return stats
+
+    def run(self, trace_path: Optional[str] = None,
+            progress: bool = False):
+        """Full MCMC per the control file.  Returns the trace as
+        (header_cols, numpy array)."""
+        cfg = self.cfg
+        self.initialize()
+        tree = self.tree
+        P = tree.num_pops
+        L = self.num_loci
+        S = tree.num_samples
+        total_coals = L * (S - 1)
+        var_mut = cfg.mcmc.mut_rate_mode == 1
+
+        header = trace_io.trace_header(tree, var_mut)
+        factors = trace_io.print_factors(tree, var_mut)
+        rows = []
+        tf = open(trace_path, "w") if trace_path else None
+        if tf:
+            tf.write(header + "\n")
+
+        counts = AcceptCounts()
+        counts.reset(P)
+        log_count = 0
+        mig_nodes_accum = 0
+        finding = cfg.mcmc.find_finetunes
+        spl = (cfg.mcmc.find_finetunes_samples_per_step if finding
+               else cfg.mcmc.iterations_per_log)
+        t0 = time.time()
+
+        it_start = -cfg.mcmc.burn_in
+        for iteration in range(it_start, cfg.mcmc.mcmc_iterations):
+            do_migrate = iteration > cfg.mcmc.start_mig
+            st = self.step(do_migrate)
+            counts.coal_time += int(st.acc_coal_time)
+            counts.mig_time += int(st.acc_mig_time)
+            counts.spr += int(st.acc_spr)
+            counts.theta += int(st.acc_theta)
+            counts.mig_rate += int(st.acc_mig_rate)
+            counts.taus += np.asarray(st.acc_taus)
+            counts.mixing += int(st.acc_mixing)
+            counts.conflicts += int(st.tau_conflicts)
+            mig_nodes_accum += int(st.num_migs_total)
+            log_count += 1
+
+            if iteration == cfg.mcmc.start_mig:
+                self._sample_mig_rates_device()
+
+            if iteration >= 0 and iteration % (cfg.mcmc.mcmc_sample_skip
+                                               + 1) == 0:
+                lnld_sum = float(st.lnld_sum)
+                lnp_sum = float(st.lnp_sum)
+                full = (lnld_sum + lnp_sum) / L
+                vals = trace_io.record_param_vals(
+                    tree, np.asarray(self.params.theta),
+                    np.asarray(self.params.tau),
+                    np.asarray(self.params.sample_age),
+                    np.asarray(self.params.mig_rate),
+                    self.rate_var if var_mut else None)
+                row = trace_io.format_row(iteration, vals, factors, full,
+                                          lnld_sum)
+                rows.append([iteration] + [v * f for v, f in
+                                           zip(vals, factors)]
+                            + [full, lnld_sum])
+                if tf:
+                    tf.write(row + "\n")
+                    tf.flush()
+
+            if (iteration + 1) % spl == 0:
+                pct = self._percents(counts, log_count, total_coals,
+                                     mig_nodes_accum)
+                if progress:
+                    el = time.time() - t0
+                    print(f"{iteration + 1:7d} "
+                          f"ct {pct['coal_time']:5.1f}% "
+                          f"spr {pct['spr']:5.1f}% "
+                          f"th {pct['theta']:5.1f}% "
+                          f"lnL {float(st.lnld_sum) + float(st.lnp_sum):.3f}"
+                          f" {el:6.1f}s", file=sys.stderr)
+                if finding:
+                    self._adjust_finetunes(pct)
+                    if (iteration + 1 >= cfg.mcmc.find_finetunes_num_steps
+                            * cfg.mcmc.find_finetunes_samples_per_step):
+                        finding = False
+                        spl = cfg.mcmc.iterations_per_log
+                counts.reset(P)
+                log_count = 0
+                mig_nodes_accum = 0
+
+        if tf:
+            tf.close()
+        cols = header.split("\t")
+        return cols, np.asarray(rows)
+
+    def _percents(self, c: AcceptCounts, log_count, total_coals,
+                  mig_nodes_accum):
+        cfg = self.cfg
+        gts = 1
+        P = self.tree.num_pops
+        B = self.tree.num_bands
+        lc = max(log_count, 1)
+        return {
+            "coal_time": c.coal_time * 100.0 / (lc * total_coals * gts),
+            "mig_time": c.mig_time * 100.0 / (mig_nodes_accum + 1e-6),
+            "spr": c.spr * 100.0 / (lc * 2 * total_coals * gts),
+            "theta": c.theta * 100.0 / (lc * P),
+            "mig_rate": c.mig_rate * 100.0 / (lc * B + 1e-6),
+            "taus": c.taus * 100.0 / lc,
+            "mixing": c.mixing * 100.0 / lc,
+        }
+
+    def _adjust_finetunes(self, pct):
+        self.ft_search["coal_time"].adjust(pct["coal_time"])
+        self.ft_search["mig_time"].adjust(pct["mig_time"])
+        self.ft_search["theta"].adjust(pct["theta"])
+        self.ft_search["mig_rate"].adjust(pct["mig_rate"])
+        self.ft_search["mixing"].adjust(pct["mixing"])
+        for p in range(self.tree.num_cur_pops, self.tree.num_pops):
+            self.ft_taus[p].adjust(pct["taus"][p])
+        self._update_ft_device()

@@ -1,0 +1,132 @@
+"""One MCMC iteration, jit-compiled.
+
+Update schedule mirrors performMCMC (reference src/GPhoCS.c:1476-1705):
+
+    repeat genetreeSamples times:
+        UpdateGB_InternalNode; UpdateGB_MigrationNode; UpdateGB_MigSPR;
+        [UpdateLocusRate if VAR rates]
+    UpdateTheta; [UpdateMigRates if iteration > start-mig];
+    UpdateTau; UpdateSampleAge; [UpdateAdmixCoeffs]; [mixing]
+
+(The reference's synchronizeEvents float-drift repair pass is unnecessary
+here: node ages are the single source of truth.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gphocs_tpu.kernels.common import Context, full_stats, gen_log_prior
+from gphocs_tpu.kernels.mig_age import update_mig_ages
+from gphocs_tpu.kernels.mixing import update_mixing
+from gphocs_tpu.kernels.node_age import update_internal_node_ages
+from gphocs_tpu.kernels.scalar_params import update_mig_rates, update_thetas
+from gphocs_tpu.kernels.spr import update_spr
+from gphocs_tpu.kernels.tau import update_sample_ages, update_taus
+from gphocs_tpu.ops.coalstats import genealogy_log_prior
+from gphocs_tpu.state import GenState, Params, SeqData
+
+
+class Finetunes(NamedTuple):
+    """Device-side finetune values (dynamic: the auto-search mutates them)."""
+
+    coal_time: jnp.ndarray
+    mig_time: jnp.ndarray
+    theta: jnp.ndarray
+    mig_rate: jnp.ndarray
+    mixing: jnp.ndarray
+    taus: jnp.ndarray  # [P]
+
+
+class StepStats(NamedTuple):
+    acc_coal_time: jnp.ndarray
+    acc_mig_time: jnp.ndarray
+    acc_spr: jnp.ndarray
+    acc_theta: jnp.ndarray
+    acc_mig_rate: jnp.ndarray
+    acc_taus: jnp.ndarray       # [P]
+    acc_mixing: jnp.ndarray
+    tau_conflicts: jnp.ndarray
+    num_migs_total: jnp.ndarray
+    lnld_sum: jnp.ndarray
+    lnp_sum: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("genetree_samples", "do_migrate", "do_mixing",
+                     "num_pops", "num_cur_pops", "sample_age_mask",
+                     "coal_time_on", "mig_time_on", "theta_on",
+                     "mig_rate_on", "mixing_on"))
+def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, rng_state,
+                   lnld, lnp, ft: Finetunes, *, ctx: Context,
+                   genetree_samples: int, do_migrate: bool, do_mixing: bool,
+                   num_pops: int, num_cur_pops: int,
+                   sample_age_mask: tuple,
+                   coal_time_on: bool = True, mig_time_on: bool = True,
+                   theta_on: bool = True, mig_rate_on: bool = True,
+                   mixing_on: bool = True):
+    """Returns (gen, params, rng_state, lnld, lnp, StepStats)."""
+    acc_ct = jnp.zeros((), jnp.int32)
+    acc_mt = jnp.zeros((), jnp.int32)
+    acc_spr = jnp.zeros((), jnp.int32)
+
+    for _ in range(genetree_samples):
+        if coal_time_on:
+            gen, rng_state, lnld, lnp, a = update_internal_node_ages(
+                gen, params, seq, rng_state, ctx, ft.coal_time, lnld, lnp)
+            acc_ct = acc_ct + a
+        if mig_time_on and ctx.num_bands > 0:
+            gen, rng_state, lnp, a = update_mig_ages(
+                gen, params, rng_state, ctx, ft.mig_time, lnp)
+            acc_mt = acc_mt + a
+        gen, rng_state, lnld, a = update_spr(
+            gen, params, seq, rng_state, ctx, lnld)
+        acc_spr = acc_spr + a
+        # SPR tracks only the data likelihood; refresh the genealogy prior
+        lnp = gen_log_prior(gen, params, ctx)
+
+    stats = full_stats(gen, params, ctx)
+    if theta_on:
+        params, rng_state, lnp, acc_th = update_thetas(
+            gen, params, rng_state, ctx, ft.theta, lnp, stats)
+    else:
+        acc_th = jnp.zeros((), jnp.int32)
+    if do_migrate and mig_rate_on and ctx.num_bands > 0:
+        params, rng_state, lnp, acc_mr = update_mig_rates(
+            gen, params, rng_state, ctx, ft.mig_rate, lnp, stats)
+    else:
+        acc_mr = jnp.zeros((), jnp.int32)
+
+    gen, params, rng_state, lnld, lnp, acc_taus, conflicts = update_taus(
+        gen, params, seq, rng_state, ctx, ft.taus, lnld, lnp,
+        num_pops, num_cur_pops)
+    if any(sample_age_mask):
+        gen, params, rng_state, lnld, lnp, acc_sa, conf_sa = \
+            update_sample_ages(gen, params, seq, rng_state, ctx, ft.taus,
+                               lnld, lnp, num_cur_pops,
+                               list(sample_age_mask))
+        acc_taus = acc_taus + acc_sa
+        conflicts = conflicts + conf_sa
+
+    if do_mixing and mixing_on:
+        stats2 = full_stats(gen, params, ctx)
+        gen, params, rng_state, lnld, lnp, acc_mix = update_mixing(
+            gen, params, seq, rng_state, ctx, ft.mixing, lnld, lnp, stats2,
+            num_cur_pops)
+    else:
+        acc_mix = jnp.zeros((), jnp.int32)
+
+    nmig_total = jnp.sum((gen.mig_branch >= 0).astype(jnp.int32))
+
+    out = StepStats(
+        acc_coal_time=acc_ct, acc_mig_time=acc_mt, acc_spr=acc_spr,
+        acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
+        acc_mixing=acc_mix, tau_conflicts=conflicts,
+        num_migs_total=nmig_total,
+        lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
+    return gen, params, rng_state, lnld, lnp, out

@@ -1,0 +1,74 @@
+"""End-to-end sampler tests: invariants after iterations, with and without
+migration, plus prior-recovery sanity."""
+
+import numpy as np
+import pytest
+
+from gphocs_tpu.config import parse_control_text
+from gphocs_tpu.debugcheck import check_gen_state, check_likelihoods
+from gphocs_tpu.io.simulate import simulate_seq_file
+from gphocs_tpu.model import build_poptree
+from gphocs_tpu.sampler.driver import Sampler
+
+from tests.test_control import SAMPLE_CTL
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    cfg = parse_control_text(SAMPLE_CTL)
+    tree = build_poptree(cfg)
+    path = tmp_path_factory.mktemp("seqs") / "seqs.txt"
+    simulate_seq_file(cfg, tree, str(path), num_loci=12, seq_len=120, seed=5)
+    return str(path)
+
+
+def _make_sampler(data_file, **mcmc_kw):
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 99
+    for k, v in mcmc_kw.items():
+        setattr(cfg.mcmc, k, v)
+    return Sampler(cfg, seq_path=data_file)
+
+
+def test_invariants_after_iterations(data_file):
+    s = _make_sampler(data_file, mcmc_iterations=6, start_mig=1)
+    s.run()
+    errs = check_gen_state(s.gen, s.params, s.tree)
+    assert not errs, "\n".join(errs[:10])
+    errs = check_likelihoods(s)
+    assert not errs, "\n".join(errs)
+
+
+def test_migration_events_appear(data_file):
+    """With a migration band and sampled rates, SPR should eventually
+    introduce migration events, and the state should stay consistent."""
+    s = _make_sampler(data_file, mcmc_iterations=40, start_mig=0)
+    s.run()
+    errs = check_gen_state(s.gen, s.params, s.tree)
+    assert not errs, "\n".join(errs[:10])
+    errs = check_likelihoods(s)
+    assert not errs, "\n".join(errs)
+    assert float(np.asarray(s.params.mig_rate)[0]) > 0.0
+
+
+def test_trace_shape_and_finiteness(data_file):
+    s = _make_sampler(data_file, mcmc_iterations=10)
+    cols, rows = s.run()
+    # 11 params + Sample + 2 likelihood columns
+    assert len(cols) == 14
+    assert rows.shape == (10, 14)
+    assert np.isfinite(rows).all()
+    # thetas are positive and scaled by the 10000 print factor
+    assert (rows[:, 1:8] > 0).all()
+
+
+def test_acceptance_rates_nontrivial(data_file):
+    s = _make_sampler(data_file, mcmc_iterations=15)
+    s.initialize()
+    tot_ct = tot_spr = 0
+    for i in range(15):
+        st = s.step(do_migrate=True)
+        tot_ct += int(st.acc_coal_time)
+        tot_spr += int(st.acc_spr)
+    assert tot_ct > 0, "no coal-time proposals accepted in 15 iterations"
+    assert tot_spr > 0, "no SPR proposals accepted in 15 iterations"
