@@ -1,0 +1,62 @@
+"""Command-line interface, compatible with the reference binary's usage:
+
+    python -m gphocs_tpu [-v] [-n threads] <control-file> [secondary-control]
+
+(reference src/GPhoCS.c:28-249).  `-n` is accepted for compatibility but
+parallelism is governed by the JAX device mesh instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="gphocs-tpu",
+        description="TPU-native G-PhoCS: Bayesian coalescent MCMC for "
+                    "demographic inference")
+    ap.add_argument("control_file")
+    ap.add_argument("secondary_control", nargs="?", default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("-n", "--nthreads", type=int, default=0,
+                    help="accepted for reference compatibility (ignored; "
+                         "use the JAX device mesh)")
+    ap.add_argument("--x64", action="store_true", default=None,
+                    help="force float64 (default on CPU; float32 on TPU)")
+    ap.add_argument("--production-rng", action="store_true",
+                    help="use de-correlated per-locus RNG streams instead "
+                         "of the reference-compatible identical seeding")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    platform = jax.default_backend()
+    use_x64 = args.x64 if args.x64 is not None else (platform == "cpu")
+    if use_x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from gphocs_tpu.config import parse_control_file
+    from gphocs_tpu.sampler.driver import Sampler
+
+    cfg = parse_control_file(args.control_file, args.secondary_control)
+    print(f"gphocs_tpu on {platform} "
+          f"({len(jax.devices())} device(s)), "
+          f"{'float64' if use_x64 else 'float32'}")
+    t0 = time.time()
+    sampler = Sampler(cfg, dtype=jnp.float64 if use_x64 else jnp.float32,
+                      legacy_rng=not args.production_rng,
+                      verbose=args.verbose)
+    print(f"{sampler.num_loci} loci, {cfg.num_samples} samples, "
+          f"{cfg.num_pops} pops, {len(cfg.bands)} migration band(s); "
+          f"{cfg.num_parameters()} parameters")
+    sampler.run(trace_path=cfg.mcmc.trace_file, progress=True)
+    print(f"MCMC finished. Time used: {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

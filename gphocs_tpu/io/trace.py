@@ -77,8 +77,9 @@ def read_trace(path: str):
     """Read a trace file into (column_names, [rows] float array)."""
     with open(path) as f:
         header = f.readline().split("\t")
+        # the reference writes a double tab before the likelihood columns
         rows = [
-            [float(x) for x in line.split("\t")]
+            [float(x) for x in line.split()]
             for line in f if line.strip()
         ]
-    return [h.strip() for h in header], np.asarray(rows)
+    return [h.strip() for h in header if h.strip()], np.asarray(rows)

@@ -134,28 +134,24 @@ def last_mig_below(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):
 def mh_accept(rng_state, lnacc: jnp.ndarray, mask: jnp.ndarray):
     """Vectorized MH decision mirroring the reference's short-circuit:
     the uniform is only consumed when lnacceptance < 0
-    (e.g. src/GPhoCS.c:2383).  lnacc/mask: [L] over locus lanes; the rng
-    state has L+1 slots.  Returns (accept [L], rng_state)."""
+    (e.g. src/GPhoCS.c:2383).  lnacc/mask: [L]; rng_state holds the L
+    per-locus streams.  Returns (accept [L], rng_state)."""
     from gphocs_tpu import rng as R
 
-    L = lnacc.shape[0]
     need_u = mask & (lnacc < 0.0)
-    lane_mask = jnp.concatenate([need_u, jnp.zeros((1,), bool)])
-    u, rng_state = R.rndu(rng_state, lane_mask)
-    accept = mask & ((lnacc >= 0.0) | (u[:L] < jnp.exp(jnp.minimum(lnacc, 0.0))))
+    u, rng_state = R.rndu(rng_state, need_u)
+    accept = mask & ((lnacc >= 0.0) | (u < jnp.exp(jnp.minimum(lnacc, 0.0))))
     return accept, rng_state
 
 
 def scalar_mh_accept(rng_state, lnacc, conflict=False):
-    """MH decision on the general stream (scalar lnacc)."""
+    """MH decision on the (size-1) general stream (scalar lnacc)."""
     from gphocs_tpu import rng as R
 
-    n = rng_state.x.shape[0]
     need_u = jnp.logical_and(jnp.logical_not(conflict), lnacc < 0.0)
-    mask = jnp.zeros((n,), bool).at[n - 1].set(need_u)
-    u, rng_state = R.rndu(rng_state, mask)
+    u, rng_state = R.general_draw_u(rng_state, need_u)
     accept = jnp.logical_and(
         jnp.logical_not(conflict),
         jnp.logical_or(lnacc >= 0.0,
-                       u[n - 1] < jnp.exp(jnp.minimum(lnacc, 0.0))))
+                       u < jnp.exp(jnp.minimum(lnacc, 0.0))))
     return accept, rng_state

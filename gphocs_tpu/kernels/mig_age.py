@@ -54,9 +54,8 @@ def update_mig_ages(gen: GenState, params: Params, rng_state, ctx: Context,
         tb0 = jnp.maximum(tb0, jnp.where(jnp.isfinite(lm), lm, child_age))
         tb1 = jnp.minimum(tb1, jnp.where(jnp.isfinite(fm), fm, fa_age))
 
-        z, rng_state = R.rnd2normal8(
-            rng_state, jnp.concatenate([active, jnp.zeros((1,), bool)]))
-        tnew = reflect(t + finetune * z[:L], tb0, tb1)
+        z, rng_state = R.rnd2normal8(rng_state, active)
+        tnew = reflect(t + finetune * z, tb0, tb1)
         tiny = jnp.abs(tnew - t) < 1e-15
 
         gen_prop = gen._replace(mig_age=gen.mig_age.at[:, m].set(

@@ -49,7 +49,6 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
     S = gen.num_samples
     N = gen.num_nodes
     loci_mask = jnp.ones((L,), bool)
-    lane_pad = jnp.zeros((1,), bool)
 
     def body(carry, inode):
         gen, rng_state, lnld, lnp, acc = carry
@@ -75,9 +74,8 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
             son_age = gen.age[jnp.arange(L), son]
             tb0 = jnp.maximum(tb0, jnp.where(jnp.isfinite(lm), lm, son_age))
 
-        z, rng_state = R.rnd2normal8(
-            rng_state, jnp.concatenate([loci_mask, lane_pad]))
-        tnew = reflect(t + finetune * z[:L], tb0, tb1)
+        z, rng_state = R.rnd2normal8(rng_state, loci_mask)
+        tnew = reflect(t + finetune * z, tb0, tb1)
         tiny = jnp.abs(tnew - t) < 1e-15
 
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))

@@ -57,6 +57,8 @@ def _branch_pop_at(gen: GenState, ctx: Context, t: jnp.ndarray):
     onb = (gen.mig_branch[:, None, :] ==
            jnp.arange(N, dtype=jnp.int32)[None, :, None])          # [L, N, M]
     keyed = jnp.where(onb, age_key[:, None, :], -jnp.inf)
+    if ctx.num_bands == 0:
+        return gen.node_pop
     best = jnp.argmax(keyed, axis=2)                               # [L, N]
     has = jnp.any(jnp.isfinite(keyed) & (keyed > -jnp.inf), axis=2)
     band = jnp.take_along_axis(gen.mig_band, best, axis=1)
@@ -186,10 +188,9 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         rate = mig_rate + 2.0 * n / theta
 
         draw_mask = alive & (rate > 0.0)
-        lane = jnp.concatenate([draw_mask, jnp.zeros((1,), bool)])
-        u1, rng = R.rndu(st.rng, lane)
+        u1, rng = R.rndu(st.rng, draw_mask)
         tdraw = jnp.where(rate > 0.0,
-                          -jnp.log(jnp.maximum(u1[:L], 1e-300)) / rate,
+                          -jnp.log(jnp.maximum(u1, 1e-300)) / rate,
                           elapsed)
         no_event = tdraw >= elapsed
 
@@ -202,9 +203,8 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
         # --- event: draw type ---
         ev_mask = alive & ~no_event
-        lane2 = jnp.concatenate([ev_mask, jnp.zeros((1,), bool)])
-        u2, rng = R.rndu(rng, lane2)
-        esample = u2[:L] * rate
+        u2, rng = R.rndu(rng, ev_mask)
+        esample = u2 * rate
         is_mig = ev_mask & (esample < mig_rate) & (Bn > 0)
         t_event = st.age + tdraw
 

@@ -133,6 +133,22 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
     M = gen.max_migs
     active = gen.mig_branch >= 0
     band = jnp.where(active, gen.mig_band, 0)
+    if ctx.num_bands == 0:
+        ntj0 = jnp.sum(ntj0_nodes).astype(dt)
+        ntj1 = jnp.sum(ntj1_nodes).astype(dt)
+        if is_sample_age:
+            params_prop = params._replace(
+                sample_age=params.sample_age.at[pop].set(taunew))
+        else:
+            params_prop = params._replace(
+                tau=params.tau.at[pop].set(taunew))
+        gen_prop = gen._replace(age=new_age)
+        lnld_prop = data_log_likelihood(gen_prop, seq)
+        lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
+        lnf0 = jnp.log(f0)
+        lnf1 = jnp.log(f1) if not is_root else jnp.log(f0)
+        return (gen_prop, params_prop, lnld_prop, lnp_prop,
+                ntj0, ntj1, jnp.asarray(False), lnf0, lnf1)
     msrc = ctx.band_source[band]
     mtgt = ctx.band_target[band]
     mage = gen.mig_age

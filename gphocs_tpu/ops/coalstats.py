@@ -92,7 +92,10 @@ def segments(gen: GenState, band_source: jnp.ndarray,
     end = jnp.concatenate([edge_seg_end,
                            jnp.where(mig_active, mig_seg_end, 0.0)], axis=1)
     band_safe = jnp.where(mig_active, gen.mig_band, 0)
-    mig_pop = band_source[band_safe]
+    if band_source.shape[0] > 0:
+        mig_pop = band_source[band_safe]
+    else:  # no bands: no active migration events can exist
+        mig_pop = jnp.zeros_like(band_safe)
     base_pop = jnp.concatenate([gen.node_pop, mig_pop.astype(jnp.int32)], axis=1)
     valid = jnp.concatenate(
         [jnp.ones((L, N), bool), mig_active], axis=1)
@@ -154,8 +157,12 @@ def sufficient_stats(gen: GenState, params: Params,
         (gen.node_pop[:, S:, None] == jnp.arange(P)[None, None, :]),
         axis=1).astype(jnp.int32)
 
-    return CoalStats(coal_stats=coal, mig_stats=mig,
-                     num_coals=ncoal, num_migs=nmig)
+    # padding loci (sharding) contribute nothing
+    v = gen.valid[:, None]
+    return CoalStats(coal_stats=jnp.where(v, coal, 0.0),
+                     mig_stats=jnp.where(v, mig, 0.0),
+                     num_coals=jnp.where(v, ncoal, 0),
+                     num_migs=jnp.where(v, nmig, 0))
 
 
 def genealogy_log_prior(stats: CoalStats, params: Params) -> jnp.ndarray:

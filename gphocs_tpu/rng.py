@@ -159,19 +159,16 @@ def rndexp(state: RngState, mask: jnp.ndarray, mean: jnp.ndarray
     return -mean * jnp.log(u), state
 
 
-def general_mask(num_slots: int) -> jnp.ndarray:
-    """Mask selecting only the general-purpose stream (last slot)."""
-    m = jnp.zeros((num_slots,), bool)
-    return m.at[num_slots - 1].set(True)
+def general_draw_u(state: RngState, active=True) -> Tuple[jnp.ndarray, RngState]:
+    """Scalar U(0,1) from a size-1 (general) stream."""
+    m = jnp.full((state.x.shape[0],), active, bool)
+    u, state = rndu(state, m)
+    return u[0], state
 
 
-def general_draw_u(state: RngState) -> Tuple[jnp.ndarray, RngState]:
-    """Scalar U(0,1) from the general stream."""
-    u, state = rndu(state, general_mask(state.x.shape[0]))
-    return u[-1], state
-
-
-def general_draw_2normal8(state: RngState) -> Tuple[jnp.ndarray, RngState]:
-    """Scalar rnd2normal8 from the general stream."""
-    zval, state = rnd2normal8(state, general_mask(state.x.shape[0]))
-    return zval[-1], state
+def general_draw_2normal8(state: RngState, active=True
+                          ) -> Tuple[jnp.ndarray, RngState]:
+    """Scalar rnd2normal8 from a size-1 (general) stream."""
+    m = jnp.full((state.x.shape[0],), active, bool)
+    zval, state = rnd2normal8(state, m)
+    return zval[0], state

@@ -144,8 +144,12 @@ class Sampler:
                              sample_age=cast(params.sample_age),
                              mig_rate=cast(params.mig_rate))
         x, y, z = self.host_rng.state_arrays()
-        self.rng_state = R.RngState(x=jnp.asarray(x), y=jnp.asarray(y),
-                                    z=jnp.asarray(z))
+        # per-locus streams [L] and general stream [1] are kept separate so
+        # that locus streams shard cleanly over the loci mesh axis
+        self.lrng = R.RngState(x=jnp.asarray(x[:-1]), y=jnp.asarray(y[:-1]),
+                               z=jnp.asarray(z[:-1]))
+        self.grng = R.RngState(x=jnp.asarray(x[-1:]), y=jnp.asarray(y[-1:]),
+                               z=jnp.asarray(z[-1:]))
         self.lnld = data_log_likelihood(self.gen, self.seq)
         self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
 
@@ -188,7 +192,7 @@ class Sampler:
         B = self.tree.num_bands
         rates = []
         for b in range(B):
-            u, self.rng_state = R.general_draw_u(self.rng_state)
+            u, self.grng = R.general_draw_u(self.grng)
             mean = self.tree.mig_alpha[b] / self.tree.mig_beta[b]
             rates.append(mean * (0.9 + 0.2 * u))
         if B:
@@ -202,9 +206,9 @@ class Sampler:
         ft = self.ft
         sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
                                 [:self.tree.num_cur_pops])
-        (self.gen, self.params, self.rng_state, self.lnld, self.lnp,
+        (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
          stats) = mcmc_iteration(
-            self.gen, self.params, self.seq, self.rng_state, self.lnld,
+            self.gen, self.params, self.seq, self.lrng, self.grng, self.lnld,
             self.lnp, ft, ctx=self.ctx,
             genetree_samples=cfg.mcmc.genetree_samples,
             do_migrate=do_migrate,

@@ -166,4 +166,5 @@ def init_gen_state(tree: PopTree, params: Params, rng: HostRng,
         mig_band=np.zeros((num_loci, max_migs), np.int32),
         mig_age=np.zeros((num_loci, max_migs), dtype),
         mut_rate=np.asarray(mut_rates, dtype),
+        valid=np.ones(num_loci, bool),
     )

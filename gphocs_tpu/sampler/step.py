@@ -62,7 +62,7 @@ class StepStats(NamedTuple):
                      "num_pops", "num_cur_pops", "sample_age_mask",
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on"))
-def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, rng_state,
+def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
                    num_pops: int, num_cur_pops: int,
@@ -77,37 +77,37 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, rng_state,
 
     for _ in range(genetree_samples):
         if coal_time_on:
-            gen, rng_state, lnld, lnp, a = update_internal_node_ages(
-                gen, params, seq, rng_state, ctx, ft.coal_time, lnld, lnp)
+            gen, lrng, lnld, lnp, a = update_internal_node_ages(
+                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
-            gen, rng_state, lnp, a = update_mig_ages(
-                gen, params, rng_state, ctx, ft.mig_time, lnp)
+            gen, lrng, lnp, a = update_mig_ages(
+                gen, params, lrng, ctx, ft.mig_time, lnp)
             acc_mt = acc_mt + a
-        gen, rng_state, lnld, a = update_spr(
-            gen, params, seq, rng_state, ctx, lnld)
+        gen, lrng, lnld, a = update_spr(
+            gen, params, seq, lrng, ctx, lnld)
         acc_spr = acc_spr + a
         # SPR tracks only the data likelihood; refresh the genealogy prior
         lnp = gen_log_prior(gen, params, ctx)
 
     stats = full_stats(gen, params, ctx)
     if theta_on:
-        params, rng_state, lnp, acc_th = update_thetas(
-            gen, params, rng_state, ctx, ft.theta, lnp, stats)
+        params, grng, lnp, acc_th = update_thetas(
+            gen, params, grng, ctx, ft.theta, lnp, stats)
     else:
         acc_th = jnp.zeros((), jnp.int32)
     if do_migrate and mig_rate_on and ctx.num_bands > 0:
-        params, rng_state, lnp, acc_mr = update_mig_rates(
-            gen, params, rng_state, ctx, ft.mig_rate, lnp, stats)
+        params, grng, lnp, acc_mr = update_mig_rates(
+            gen, params, grng, ctx, ft.mig_rate, lnp, stats)
     else:
         acc_mr = jnp.zeros((), jnp.int32)
 
-    gen, params, rng_state, lnld, lnp, acc_taus, conflicts = update_taus(
-        gen, params, seq, rng_state, ctx, ft.taus, lnld, lnp,
+    gen, params, grng, lnld, lnp, acc_taus, conflicts = update_taus(
+        gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
         num_pops, num_cur_pops)
     if any(sample_age_mask):
-        gen, params, rng_state, lnld, lnp, acc_sa, conf_sa = \
-            update_sample_ages(gen, params, seq, rng_state, ctx, ft.taus,
+        gen, params, grng, lnld, lnp, acc_sa, conf_sa = \
+            update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
                                lnld, lnp, num_cur_pops,
                                list(sample_age_mask))
         acc_taus = acc_taus + acc_sa
@@ -115,8 +115,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, rng_state,
 
     if do_mixing and mixing_on:
         stats2 = full_stats(gen, params, ctx)
-        gen, params, rng_state, lnld, lnp, acc_mix = update_mixing(
-            gen, params, seq, rng_state, ctx, ft.mixing, lnld, lnp, stats2,
+        gen, params, grng, lnld, lnp, acc_mix = update_mixing(
+            gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, stats2,
             num_cur_pops)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
@@ -129,4 +129,4 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, rng_state,
         acc_mixing=acc_mix, tau_conflicts=conflicts,
         num_migs_total=nmig_total,
         lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
-    return gen, params, rng_state, lnld, lnp, out
+    return gen, params, lrng, grng, lnld, lnp, out

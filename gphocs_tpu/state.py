@@ -39,6 +39,7 @@ class GenState(NamedTuple):
     mig_band: jnp.ndarray   # [L, M] int32
     mig_age: jnp.ndarray    # [L, M] float
     mut_rate: jnp.ndarray   # [L] float, relative locus mutation rate
+    valid: jnp.ndarray      # [L] bool; False for padding loci (sharding)
 
     @property
     def num_loci(self) -> int:

@@ -1,0 +1,161 @@
+"""Golden comparison: run the C reference and gphocs_tpu on the same
+synthetic data + control settings, compare marginal posteriors.
+
+Usage: python scripts/golden_compare.py <path-to-GPhoCS-binary> [iters]
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "true"
+os.environ["PYTHONPATH"] = ""
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from gphocs_tpu.config import parse_control_text  # noqa: E402
+from gphocs_tpu.io.simulate import simulate_seq_file  # noqa: E402
+from gphocs_tpu.io.trace import read_trace  # noqa: E402
+from gphocs_tpu.model import build_poptree  # noqa: E402
+from gphocs_tpu.sampler.driver import Sampler  # noqa: E402
+
+CTL_TEMPLATE = """
+GENERAL-INFO-START
+	seq-file            {seq}
+	trace-file          {trace}
+	locus-mut-rate      CONST
+	mcmc-iterations	  {iters}
+	burn-in  {burnin}
+	random-seed  {seed}
+	mcmc-sample-skip 0
+	start-mig 0
+	iterations-per-log  1000
+	logs-per-line       10
+	find-finetunes		FALSE
+	finetune-coal-time	0.01
+	finetune-mig-time	0.3
+	finetune-theta		0.04
+	finetune-mig-rate	0.02
+	finetune-tau		0.0000008
+	finetune-mixing		0.003
+	tau-theta-print		10000.0
+	tau-theta-alpha		1.0
+	tau-theta-beta		10000.0
+	mig-rate-print		0.001
+	mig-rate-alpha		0.002
+	mig-rate-beta		0.00001
+GENERAL-INFO-END
+CURRENT-POPS-START
+	POP-START
+		name		A
+		samples		one d
+	POP-END
+	POP-START
+		name		B
+		samples		two d
+	POP-END
+	POP-START
+		name		C
+		samples		three d
+	POP-END
+	POP-START
+		name		D
+		samples		five d
+	POP-END
+CURRENT-POPS-END
+ANCESTRAL-POPS-START
+	POP-START
+		name			AB
+		children		A		B
+		tau-initial	0.000005
+		tau-beta		20000.0
+		finetune-tau			0.0000008
+	POP-END
+	POP-START
+		name			ABC
+		children		AB		C
+		tau-initial	0.00001
+		tau-beta		20000.0
+		finetune-tau			0.0000008
+	POP-END
+	POP-START
+		name			root
+		children		ABC	D
+		tau-initial	0.00005
+		tau-beta		20000.0
+		finetune-tau			0.00000286
+	POP-END
+ANCESTRAL-POPS-END
+MIG-BANDS-START
+	BAND-START
+       source  D
+       target  B
+       mig-rate-print 0.1
+	BAND-END
+MIG-BANDS-END
+"""
+
+
+def main():
+    binary = sys.argv[1]
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    burnin = iters // 4
+    work = tempfile.mkdtemp(prefix="golden_")
+    seq = os.path.join(work, "seqs.txt")
+    ctl_c = os.path.join(work, "c.ctl")
+    trace_c = os.path.join(work, "c-trace.out")
+    trace_j = os.path.join(work, "jax-trace.out")
+
+    ctl_text = CTL_TEMPLATE.format(seq=seq, trace=trace_c, iters=iters,
+                                   burnin=burnin, seed=1357)
+    cfg = parse_control_text(ctl_text)
+    tree = build_poptree(cfg)
+    true_params = simulate_seq_file(cfg, tree, seq, num_loci=60,
+                                    seq_len=400, seed=77)
+    print("true theta:", np.round(true_params.theta, 6))
+    print("true tau:  ", np.round(true_params.tau, 6))
+
+    with open(ctl_c, "w") as f:
+        f.write(ctl_text)
+    print("running C reference ...")
+    res = subprocess.run([binary, ctl_c], capture_output=True, text=True,
+                         cwd=work, timeout=7200)
+    if res.returncode != 0:
+        print(res.stdout[-2000:])
+        print(res.stderr[-2000:])
+        sys.exit(1)
+
+    print("running gphocs_tpu ...")
+    s = Sampler(cfg, seq_path=seq)
+    cols_j, rows_j = s.run(trace_path=trace_j, progress=True)
+
+    cols_c, rows_c = read_trace(trace_c)
+    print("C columns:  ", cols_c)
+    print("jax columns:", cols_j)
+    skip = burnin // 1  # C writes rows only for iteration >= 0
+    n_c = rows_c.shape[0]
+    keep_c = rows_c[n_c // 4:]
+    keep_j = rows_j[rows_j[:, 0] >= 0][rows_j.shape[0] // 4:]
+    print(f"{'param':<14} {'C mean':>12} {'jax mean':>12} {'C std':>10} "
+          f"{'jax std':>10} {'z':>7}")
+    for k in range(1, len(cols_c)):
+        name = cols_c[k]
+        mc, sc = keep_c[:, k].mean(), keep_c[:, k].std()
+        mj, sj = keep_j[:, k].mean(), keep_j[:, k].std()
+        # crude z-score with ESS guess of 50 per chain
+        se = np.sqrt(sc**2 / 50 + sj**2 / 50) + 1e-12
+        z = (mc - mj) / se
+        print(f"{name:<14} {mc:12.5f} {mj:12.5f} {sc:10.5f} {sj:10.5f} "
+              f"{z:7.2f}")
+    print("workdir:", work)
+
+
+if __name__ == "__main__":
+    main()
