@@ -1,0 +1,87 @@
+"""UpdateLocusRate: per-locus relative mutation-rate updates (VAR mode).
+
+Mirrors reference src/GPhoCS.c:4598-4674.  Each locus `gen` (except the
+reference locus, genRateRef=0) is swept sequentially; its rate moves
+opposite to the reference locus's rate, preserving the mean:
+
+    rnew    = reflect(rold + finetune * rnd2normal8(gen), 0, rold + rref)
+    rrefnew = rref + rold - rnew
+    lnacc   = (alpha - 1) * log((rnew * rrefnew) / (rold * rref))
+            + dlnld(gen) + dlnld(ref)
+
+Because every step couples to the single reference locus, the sweep is a
+`lax.scan` over loci; each step re-prunes only the two affected loci.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gphocs_tpu import rng as R
+from gphocs_tpu.ops.pruning import _pruning_single
+from gphocs_tpu.state import GenState, SeqData
+from gphocs_tpu.utils import reflect
+
+
+def _pair_lnld(gen: GenState, seq: SeqData, idx: jnp.ndarray,
+               rates: jnp.ndarray):
+    """Data log-likelihood of the two loci `idx` with overridden rates."""
+    take = lambda a: a[idx]  # noqa: E731
+    dtype = gen.age.dtype
+    fn = jax.vmap(
+        lambda fa, ls, rs, ag, rt, mr, lb, gi, gc, gn, pv: _pruning_single(
+            fa, ls, rs, ag, rt, mr, lb, gi, gc, gn, pv, dtype))
+    return fn(take(gen.father), take(gen.lson), take(gen.rson),
+              take(gen.age), take(gen.root), rates,
+              take(seq.leaf_base), take(seq.group_id),
+              take(seq.group_count), take(seq.group_nphases),
+              take(seq.pattern_valid))
+
+
+def update_locus_rates(gen: GenState, seq: SeqData, rng_state, finetune,
+                       lnld: jnp.ndarray, var_alpha, ref_locus: int = 0):
+    """Returns (gen, rng_state, lnld, accepted, rate_var_delta)."""
+    L = gen.num_loci
+
+    def body(carry, g):
+        gen, rng_state, lnld, acc, dvar = carry
+        active = (g != ref_locus) & gen.valid[g]
+        rold = gen.mut_rate[g]
+        rref = gen.mut_rate[ref_locus]
+        onehot = jnp.arange(L) == g
+        z, rng_state = R.rnd2normal8(rng_state, onehot & active)
+        rnew = reflect(rold + finetune * z[g], jnp.zeros((), lnld.dtype),
+                       rold + rref)
+        rrefnew = rref + rold - rnew
+
+        idx = jnp.stack([g, jnp.asarray(ref_locus, g.dtype)])
+        new_pair = _pair_lnld(gen, seq, idx, jnp.stack([rnew, rrefnew]))
+        dlnld = (new_pair[0] - lnld[g]) + (new_pair[1] - lnld[ref_locus])
+        lnacc = ((var_alpha - 1.0)
+                 * jnp.log((rnew * rrefnew) / (rold * rref)) + dlnld)
+
+        need_u = active & (lnacc < 0.0)
+        u, rng_state = R.rndu(rng_state, onehot & need_u)
+        accept = active & ((lnacc >= 0.0)
+                           | (u[g] < jnp.exp(jnp.minimum(lnacc, 0.0))))
+        gen = gen._replace(mut_rate=jnp.where(
+            accept,
+            gen.mut_rate.at[g].set(rnew).at[ref_locus].set(rrefnew),
+            gen.mut_rate))
+        lnld = jnp.where(
+            accept,
+            lnld.at[g].set(new_pair[0]).at[ref_locus].set(new_pair[1]),
+            lnld)
+        acc = acc + accept.astype(jnp.int32)
+        dvar = dvar + jnp.where(
+            accept,
+            (rnew**2 + rrefnew**2 - rold**2 - rref**2) / L, 0.0)
+        return (gen, rng_state, lnld, acc, dvar), None
+
+    init = (gen, rng_state, lnld, jnp.zeros((), jnp.int32),
+            jnp.zeros((), lnld.dtype))
+    (gen, rng_state, lnld, acc, dvar), _ = lax.scan(
+        body, init, jnp.arange(L, dtype=jnp.int32))
+    return gen, rng_state, lnld, acc, dvar

@@ -13,6 +13,7 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,7 +37,7 @@ from gphocs_tpu.sampler.init import (
     sample_locus_rates,
     sample_pop_parameters,
 )
-from gphocs_tpu.sampler.step import Finetunes, mcmc_iteration
+from gphocs_tpu.sampler.step import Finetunes, mcmc_chunk, mcmc_iteration
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -165,6 +166,7 @@ class Sampler:
             "theta": _FinetuneSearch(seedv(ftc.theta)),
             "mig_rate": _FinetuneSearch(seedv(ftc.mig_rate)),
             "mixing": _FinetuneSearch(seedv(ftc.mixing)),
+            "locus_rate": _FinetuneSearch(seedv(ftc.locus_rate)),
         }
         self.ft_taus = [
             _FinetuneSearch(seedv(v) if v > 0 or cfg.mcmc.find_finetunes
@@ -183,6 +185,8 @@ class Sampler:
             mig_rate=jnp.asarray(self.ft_search["mig_rate"].value,
                                  self.dtype),
             mixing=jnp.asarray(self.ft_search["mixing"].value, self.dtype),
+            locus_rate=jnp.asarray(self.ft_search["locus_rate"].value,
+                                   self.dtype),
             taus=jnp.asarray([t.value for t in self.ft_taus], self.dtype),
         )
 
@@ -221,8 +225,39 @@ class Sampler:
             theta_on=self.ft_search["theta"].value > 0,
             mig_rate_on=self.ft_search["mig_rate"].value > 0,
             mixing_on=self.ft_search["mixing"].value > 0,
+            var_rates=cfg.mcmc.mut_rate_mode == 1,
+            locus_rate_on=self.ft_search["locus_rate"].value > 0,
+            var_alpha=cfg.mcmc.var_rates_alpha,
         )
+        self.rate_var += float(stats.rate_var_delta)
         return stats
+
+    def step_chunk(self, n_iters: int, do_migrate: bool):
+        """Run n_iters iterations in one compiled call."""
+        cfg = self.cfg
+        sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
+                                [:self.tree.num_cur_pops])
+        (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
+         stats, trace) = mcmc_chunk(
+            self.gen, self.params, self.seq, self.lrng, self.grng,
+            self.lnld, self.lnp, self.ft, ctx=self.ctx, n_iters=n_iters,
+            genetree_samples=cfg.mcmc.genetree_samples,
+            do_migrate=do_migrate,
+            do_mixing=cfg.mcmc.do_mixing,
+            num_pops=self.tree.num_pops,
+            num_cur_pops=self.tree.num_cur_pops,
+            sample_age_mask=sample_age_mask,
+            coal_time_on=self.ft_search["coal_time"].value > 0,
+            mig_time_on=self.ft_search["mig_time"].value > 0,
+            theta_on=self.ft_search["theta"].value > 0,
+            mig_rate_on=self.ft_search["mig_rate"].value > 0,
+            mixing_on=self.ft_search["mixing"].value > 0,
+            var_rates=cfg.mcmc.mut_rate_mode == 1,
+            locus_rate_on=self.ft_search["locus_rate"].value > 0,
+            var_alpha=cfg.mcmc.var_rates_alpha,
+        )
+        self.rate_var += float(stats.rate_var_delta)
+        return stats, trace
 
     def run(self, trace_path: Optional[str] = None,
             progress: bool = False):
@@ -254,9 +289,21 @@ class Sampler:
         t0 = time.time()
 
         it_start = -cfg.mcmc.burn_in
-        for iteration in range(it_start, cfg.mcmc.mcmc_iterations):
-            do_migrate = iteration > cfg.mcmc.start_mig
-            st = self.step(do_migrate)
+        iteration = it_start
+        while iteration < cfg.mcmc.mcmc_iterations:
+            # chunk until the next boundary: a log point, the start-mig
+            # switch (migration-rate sampling + update gating change), or
+            # the end of the run
+            next_log = ((iteration + 1 + spl - 1) // spl) * spl \
+                if spl > 0 else cfg.mcmc.mcmc_iterations
+            boundaries = [next_log, cfg.mcmc.mcmc_iterations]
+            if iteration <= cfg.mcmc.start_mig:
+                boundaries.append(cfg.mcmc.start_mig + 1)
+            end = max(min(boundaries), iteration + 1)
+            n_iters = end - iteration
+            st, tr = self.step_chunk(
+                n_iters, do_migrate=iteration > cfg.mcmc.start_mig)
+
             counts.coal_time += int(st.acc_coal_time)
             counts.mig_time += int(st.acc_mig_time)
             counts.spr += int(st.acc_spr)
@@ -266,45 +313,47 @@ class Sampler:
             counts.mixing += int(st.acc_mixing)
             counts.conflicts += int(st.tau_conflicts)
             mig_nodes_accum += int(st.num_migs_total)
-            log_count += 1
+            log_count += n_iters
 
-            if iteration == cfg.mcmc.start_mig:
+            tr_np = jax.tree_util.tree_map(np.asarray, tr)
+            for j in range(n_iters):
+                it = iteration + j
+                if it >= 0 and it % (cfg.mcmc.mcmc_sample_skip + 1) == 0:
+                    lnld_sum = float(tr_np.lnld_sum[j])
+                    lnp_sum = float(tr_np.lnp_sum[j])
+                    full = (lnld_sum + lnp_sum) / L
+                    vals = trace_io.record_param_vals(
+                        tree, tr_np.theta[j], tr_np.tau[j],
+                        tr_np.sample_age[j], tr_np.mig_rate[j],
+                        self.rate_var if var_mut else None)
+                    row = trace_io.format_row(it, vals, factors, full,
+                                              lnld_sum)
+                    rows.append([it] + [v * f for v, f in
+                                        zip(vals, factors)]
+                                + [full, lnld_sum])
+                    if tf:
+                        tf.write(row + "\n")
+            if tf:
+                tf.flush()
+
+            iteration = end
+            if iteration == cfg.mcmc.start_mig + 1:
                 self._sample_mig_rates_device()
 
-            if iteration >= 0 and iteration % (cfg.mcmc.mcmc_sample_skip
-                                               + 1) == 0:
-                lnld_sum = float(st.lnld_sum)
-                lnp_sum = float(st.lnp_sum)
-                full = (lnld_sum + lnp_sum) / L
-                vals = trace_io.record_param_vals(
-                    tree, np.asarray(self.params.theta),
-                    np.asarray(self.params.tau),
-                    np.asarray(self.params.sample_age),
-                    np.asarray(self.params.mig_rate),
-                    self.rate_var if var_mut else None)
-                row = trace_io.format_row(iteration, vals, factors, full,
-                                          lnld_sum)
-                rows.append([iteration] + [v * f for v, f in
-                                           zip(vals, factors)]
-                            + [full, lnld_sum])
-                if tf:
-                    tf.write(row + "\n")
-                    tf.flush()
-
-            if (iteration + 1) % spl == 0:
+            if iteration % spl == 0:
                 pct = self._percents(counts, log_count, total_coals,
                                      mig_nodes_accum)
                 if progress:
                     el = time.time() - t0
-                    print(f"{iteration + 1:7d} "
+                    print(f"{iteration:7d} "
                           f"ct {pct['coal_time']:5.1f}% "
                           f"spr {pct['spr']:5.1f}% "
                           f"th {pct['theta']:5.1f}% "
-                          f"lnL {float(st.lnld_sum) + float(st.lnp_sum):.3f}"
+                          f"lnL {float(tr_np.lnld_sum[-1]) + float(tr_np.lnp_sum[-1]):.3f}"
                           f" {el:6.1f}s", file=sys.stderr)
                 if finding:
                     self._adjust_finetunes(pct)
-                    if (iteration + 1 >= cfg.mcmc.find_finetunes_num_steps
+                    if (iteration >= cfg.mcmc.find_finetunes_num_steps
                             * cfg.mcmc.find_finetunes_samples_per_step):
                         finding = False
                         spl = cfg.mcmc.iterations_per_log

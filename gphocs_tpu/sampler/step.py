@@ -1,4 +1,4 @@
-"""One MCMC iteration, jit-compiled.
+"""One MCMC iteration (and chunked multi-iteration scan), jit-compiled.
 
 Update schedule mirrors performMCMC (reference src/GPhoCS.c:1476-1705):
 
@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from gphocs_tpu.kernels.common import Context, full_stats, gen_log_prior
 from gphocs_tpu.kernels.mig_age import update_mig_ages
 from gphocs_tpu.kernels.mixing import update_mixing
+from gphocs_tpu.kernels.locus_rate import update_locus_rates
 from gphocs_tpu.kernels.node_age import update_internal_node_ages
 from gphocs_tpu.kernels.scalar_params import update_mig_rates, update_thetas
 from gphocs_tpu.kernels.spr import update_spr
@@ -39,6 +40,7 @@ class Finetunes(NamedTuple):
     theta: jnp.ndarray
     mig_rate: jnp.ndarray
     mixing: jnp.ndarray
+    locus_rate: jnp.ndarray
     taus: jnp.ndarray  # [P]
 
 
@@ -50,6 +52,8 @@ class StepStats(NamedTuple):
     acc_mig_rate: jnp.ndarray
     acc_taus: jnp.ndarray       # [P]
     acc_mixing: jnp.ndarray
+    acc_locus_rate: jnp.ndarray
+    rate_var_delta: jnp.ndarray
     tau_conflicts: jnp.ndarray
     num_migs_total: jnp.ndarray
     lnld_sum: jnp.ndarray
@@ -61,7 +65,8 @@ class StepStats(NamedTuple):
     static_argnames=("genetree_samples", "do_migrate", "do_mixing",
                      "num_pops", "num_cur_pops", "sample_age_mask",
                      "coal_time_on", "mig_time_on", "theta_on",
-                     "mig_rate_on", "mixing_on"))
+                     "mig_rate_on", "mixing_on", "var_rates",
+                     "locus_rate_on", "var_alpha"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -69,11 +74,14 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    sample_age_mask: tuple,
                    coal_time_on: bool = True, mig_time_on: bool = True,
                    theta_on: bool = True, mig_rate_on: bool = True,
-                   mixing_on: bool = True):
+                   mixing_on: bool = True, var_rates: bool = False,
+                   locus_rate_on: bool = True, var_alpha: float = 1.0):
     """Returns (gen, params, rng_state, lnld, lnp, StepStats)."""
     acc_ct = jnp.zeros((), jnp.int32)
     acc_mt = jnp.zeros((), jnp.int32)
     acc_spr = jnp.zeros((), jnp.int32)
+    acc_lr = jnp.zeros((), jnp.int32)
+    dvar = jnp.zeros((), lnld.dtype)
 
     for _ in range(genetree_samples):
         if coal_time_on:
@@ -89,6 +97,11 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         acc_spr = acc_spr + a
         # SPR tracks only the data likelihood; refresh the genealogy prior
         lnp = gen_log_prior(gen, params, ctx)
+        if var_rates and locus_rate_on:
+            gen, lrng, lnld, a, dv = update_locus_rates(
+                gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
+            acc_lr = acc_lr + a
+            dvar = dvar + dv
 
     stats = full_stats(gen, params, ctx)
     if theta_on:
@@ -126,7 +139,62 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     out = StepStats(
         acc_coal_time=acc_ct, acc_mig_time=acc_mt, acc_spr=acc_spr,
         acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
-        acc_mixing=acc_mix, tau_conflicts=conflicts,
+        acc_mixing=acc_mix, acc_locus_rate=acc_lr, rate_var_delta=dvar,
+        tau_conflicts=conflicts,
         num_migs_total=nmig_total,
         lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
     return gen, params, lrng, grng, lnld, lnp, out
+
+
+class ChunkTrace(NamedTuple):
+    """Per-iteration outputs of a chunk (leading axis = iterations)."""
+
+    theta: jnp.ndarray        # [K, P]
+    tau: jnp.ndarray          # [K, P]
+    sample_age: jnp.ndarray   # [K, P]
+    mig_rate: jnp.ndarray     # [K, B]
+    lnld_sum: jnp.ndarray     # [K]
+    lnp_sum: jnp.ndarray      # [K]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "genetree_samples", "do_migrate",
+                     "do_mixing", "num_pops", "num_cur_pops",
+                     "sample_age_mask", "coal_time_on", "mig_time_on",
+                     "theta_on", "mig_rate_on", "mixing_on", "var_rates",
+                     "locus_rate_on", "var_alpha"))
+def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
+               lnld, lnp, ft: Finetunes, *, ctx: Context, n_iters: int,
+               genetree_samples: int, do_migrate: bool, do_mixing: bool,
+               num_pops: int, num_cur_pops: int, sample_age_mask: tuple,
+               coal_time_on: bool = True, mig_time_on: bool = True,
+               theta_on: bool = True, mig_rate_on: bool = True,
+               mixing_on: bool = True, var_rates: bool = False,
+               locus_rate_on: bool = True, var_alpha: float = 1.0):
+    """Run n_iters full iterations in one compiled call (amortizes host
+    dispatch; essential on TPU where per-call latency dwarfs compute for
+    small models).  Returns accumulated StepStats and a ChunkTrace with
+    per-iteration parameter values for trace emission."""
+
+    def body(carry, _):
+        gen, params, lrng, grng, lnld, lnp = carry
+        gen, params, lrng, grng, lnld, lnp, st = mcmc_iteration(
+            gen, params, seq, lrng, grng, lnld, lnp, ft, ctx=ctx,
+            genetree_samples=genetree_samples, do_migrate=do_migrate,
+            do_mixing=do_mixing, num_pops=num_pops,
+            num_cur_pops=num_cur_pops, sample_age_mask=sample_age_mask,
+            coal_time_on=coal_time_on, mig_time_on=mig_time_on,
+            theta_on=theta_on, mig_rate_on=mig_rate_on,
+            mixing_on=mixing_on, var_rates=var_rates,
+            locus_rate_on=locus_rate_on, var_alpha=var_alpha)
+        out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
+                              sample_age=params.sample_age,
+                              mig_rate=params.mig_rate,
+                              lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum))
+        return (gen, params, lrng, grng, lnld, lnp), out
+
+    (gen, params, lrng, grng, lnld, lnp), (stats_seq, trace) = jax.lax.scan(
+        body, (gen, params, lrng, grng, lnld, lnp), None, length=n_iters)
+    totals = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), stats_seq)
+    return gen, params, lrng, grng, lnld, lnp, totals, trace

@@ -105,8 +105,8 @@ MIG-BANDS-END
 
 def main():
     binary = sys.argv[1]
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
-    burnin = iters // 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30000
+    burnin = int(os.environ.get("GC_BURNIN", "4000"))
     work = tempfile.mkdtemp(prefix="golden_")
     seq = os.path.join(work, "seqs.txt")
     ctl_c = os.path.join(work, "c.ctl")
@@ -117,8 +117,9 @@ def main():
                                    burnin=burnin, seed=1357)
     cfg = parse_control_text(ctl_text)
     tree = build_poptree(cfg)
-    true_params = simulate_seq_file(cfg, tree, seq, num_loci=60,
-                                    seq_len=400, seed=77)
+    nl = int(os.environ.get("GC_LOCI", "200"))
+    true_params = simulate_seq_file(cfg, tree, seq, num_loci=nl,
+                                    seq_len=1000, seed=77)
     print("true theta:", np.round(true_params.theta, 6))
     print("true tau:  ", np.round(true_params.tau, 6))
 
@@ -141,19 +142,33 @@ def main():
     print("jax columns:", cols_j)
     skip = burnin // 1  # C writes rows only for iteration >= 0
     n_c = rows_c.shape[0]
-    keep_c = rows_c[n_c // 4:]
-    keep_j = rows_j[rows_j[:, 0] >= 0][rows_j.shape[0] // 4:]
+    keep_c = rows_c[n_c // 2:]
+    keep_j = rows_j[rows_j[:, 0] >= 0][rows_j.shape[0] // 2:]
+
+    def ess(x):
+        x = x - x.mean()
+        n = len(x)
+        if x.std() == 0:
+            return 1.0
+        acf = np.correlate(x, x, "full")[n - 1:] / (np.arange(n, 0, -1))
+        acf = acf / acf[0]
+        s = 1.0
+        for k in range(1, min(n // 2, 2000)):
+            if acf[k] < 0.05:
+                break
+            s += 2 * acf[k]
+        return max(n / s, 4.0)
     print(f"{'param':<14} {'C mean':>12} {'jax mean':>12} {'C std':>10} "
           f"{'jax std':>10} {'z':>7}")
     for k in range(1, len(cols_c)):
         name = cols_c[k]
         mc, sc = keep_c[:, k].mean(), keep_c[:, k].std()
         mj, sj = keep_j[:, k].mean(), keep_j[:, k].std()
-        # crude z-score with ESS guess of 50 per chain
-        se = np.sqrt(sc**2 / 50 + sj**2 / 50) + 1e-12
+        ec, ej = ess(keep_c[:, k]), ess(keep_j[:, k])
+        se = np.sqrt(sc**2 / ec + sj**2 / ej) + 1e-12
         z = (mc - mj) / se
         print(f"{name:<14} {mc:12.5f} {mj:12.5f} {sc:10.5f} {sj:10.5f} "
-              f"{z:7.2f}")
+              f"{z:7.2f}  ess {ec:6.0f}/{ej:6.0f}")
     print("workdir:", work)
 
 
