@@ -62,13 +62,11 @@ def main():
     sampler = Sampler(cfg, seq_path=data, dtype=dtype)
     sampler.initialize()
 
-    for _ in range(WARMUP):
-        sampler.step(do_migrate=True)
+    sampler.step_chunk(TIMED, do_migrate=True)  # compile + warm up
     jax.block_until_ready(sampler.gen.age)
 
     t0 = time.time()
-    for _ in range(TIMED):
-        sampler.step(do_migrate=True)
+    sampler.step_chunk(TIMED, do_migrate=True)
     jax.block_until_ready(sampler.gen.age)
     dt = time.time() - t0
 

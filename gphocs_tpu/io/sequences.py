@@ -41,8 +41,31 @@ class RawAlignments:
 
 
 def read_seq_file(path: str, sample_names: List[str],
-                  num_loci_limit: int = -1) -> RawAlignments:
-    """Read + canonize a sequence file into a deduplicated PatternSet."""
+                  num_loci_limit: int = -1,
+                  use_native: bool = True) -> RawAlignments:
+    """Read + canonize a sequence file into a deduplicated PatternSet.
+
+    Uses the C++ ingest module (cpp/ingest.cpp) when available — the
+    canonization loop is the data-loading hot spot — with a pure-Python
+    fallback."""
+    if use_native:
+        try:
+            from gphocs_tpu.io.native import read_seq_file_native
+
+            res = read_seq_file_native(path, sample_names, num_loci_limit)
+        except Exception:
+            res = None
+        if res is not None:
+            patterns, profiles = res
+            pset = PatternSet()
+            pset.patterns = patterns
+            pset._index = {p: i for i, p in enumerate(patterns)}
+            pset.locus_profiles = profiles
+            return RawAlignments(
+                num_loci=len(profiles),
+                locus_names=[f"locus{i}" for i in range(len(profiles))],
+                pattern_set=pset)
+
     with open(path) as f:
         toks = f.read().split()
     pos = 0

@@ -101,166 +101,202 @@ class _SimState(NamedTuple):
 
 def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
                         node: jnp.ndarray, rng_state, active0: jnp.ndarray):
-    """Batched traceLineage(reconnect=1).  node: [L] pruned branch.
+    """Batched traceLineage(reconnect=1) by cumulative-hazard inversion.
 
-    Returns _SimState after completion for every locus (status != 0).
-    Lanes with active0=False never run (status pre-set to -2 = skip)."""
+    Instead of walking chain intervals one boundary at a time (the
+    reference's loop, src/patch.c:1117-1261), each walk step inverts the
+    full piecewise-constant hazard of the coalescence-with-migration
+    process from the current age up to OLDAGE along the ancestral
+    population path:
+
+        Lambda(t) = integral (mig_rate(s) + 2 n(s) / theta(s)) ds,
+        t* = Lambda^{-1}(E),  E ~ Exp(1)
+
+    which yields the *exact* same law as interval-by-interval exponential
+    draws but needs only one sequential step per migration jump (expected
+    ~1) instead of one per chain event.  RNG consumption therefore differs
+    from the reference (documented deviation: statistical, not bitwise,
+    equivalence).
+
+    node: [L] pruned branch.  Returns a completed _SimState.
+    """
     L = gen.num_loci
     N = gen.num_nodes
     M = gen.max_migs
     Bn = ctx.num_bands
     dt = gen.age.dtype
-    S = gen.num_samples
+    P = ctx.num_pops
+    ar = jnp.arange(L)
 
     bs, be = band_windows(ctx, params.tau)
     pe = jnp.where(ctx.father_pop < 0, jnp.asarray(ctx.oldage, dt),
                    params.tau[jnp.where(ctx.father_pop < 0, 0,
                                         ctx.father_pop)])
 
-    # existing migration capacity: active events minus those on the pruned
-    # edge (they will be removed if the proposal is accepted)
     act = gen.mig_branch >= 0
     on_pruned = act & (gen.mig_branch == node[:, None])
     base_migs = jnp.sum(act, axis=1) - jnp.sum(on_pruned, axis=1)
 
-    start_pop = gen.node_pop[jnp.arange(L), node]
-    start_age = gen.age[jnp.arange(L), node]
+    start_pop = gen.node_pop[ar, node]
+    start_age = gen.age[ar, node]
 
-    top_all = _edge_top(gen, ctx)   # [L, N] static during simulation
+    # static candidate boundary times [L, K]: node ages, migration events,
+    # band window edges, population bottoms, plus the OLDAGE ceiling
+    cand = [gen.age,
+            jnp.where(act, gen.mig_age, 0.0),
+            jnp.broadcast_to(params.tau[None, :], (L, P))]
+    if Bn > 0:
+        cand += [jnp.broadcast_to(bs[None, :], (L, Bn)),
+                 jnp.broadcast_to(be[None, :], (L, Bn))]
+    bounds_all = jnp.concatenate(cand, axis=1)           # [L, K0]
+    K = bounds_all.shape[1] + 1
 
-    max_iters = 4 * (N + 2 * M + 2 * Bn + ctx.num_pops) + 64
+    # precomputed per-branch data for coverage counting
+    top_all = _edge_top(gen, ctx)                        # [L, N]
 
-    def boundary(pop, age, exclude):
-        """Next event time strictly above `age` in `pop`, capped at pop top."""
-        big = jnp.asarray(jnp.inf, dt)
-        # coal node times of nodes whose chain-pop is pop:
-        # a coal event sits in the chain of its own node_pop
-        cand = jnp.where((gen.node_pop == pop[:, None])
-                         & (gen.age > age[:, None])
-                         & (jnp.arange(N)[None, :] != exclude[:, None]),
-                         gen.age, big)
-        t = jnp.min(cand, axis=1)
-        # migration events: IN_MIG in the band's target pop, OUT_MIG in source
+    max_steps = M + 3
+
+    def coverage_counts(mids, pops, exclude):
+        """[L, K] lineage counts: remaining branches alive in pops[l,k]
+        at mids[l,k]."""
+        alive = ((gen.age[:, None, :] <= mids[:, :, None])
+                 & (mids[:, :, None] < top_all[:, None, :]))     # [L,K,N]
+        alive = alive & (jnp.arange(N)[None, None, :]
+                         != exclude[:, None, None])
+        # branch trajectory pop at each mid
         if Bn > 0:
-            mb = jnp.where(act, gen.mig_band, 0)
-            non_pruned = act & (gen.mig_branch != exclude[:, None])
-            m_in = non_pruned & (ctx.band_target[mb] == pop[:, None])
-            m_out = non_pruned & (ctx.band_source[mb] == pop[:, None])
-            cand_m = jnp.where((m_in | m_out) & (gen.mig_age > age[:, None]),
-                               gen.mig_age, big)
-            t = jnp.minimum(t, jnp.min(cand_m, axis=1))
-            # band window edges for bands targeting pop
-            tgt_here = ctx.band_target[None, :] == pop[:, None]
-            for arr in (bs, be):
-                cand_b = jnp.where(tgt_here & (arr[None, :] > age[:, None]),
-                                   arr[None, :], big)
-                t = jnp.minimum(t, jnp.min(cand_b, axis=1))
-        # sample-start events of current pops
-        samp = (ctx.sample_pop[None, :] * 0
-                + params.sample_age[ctx.sample_pop][None, :])
-        samp_pop = ctx.sample_pop[None, :] == pop[:, None]
-        cand_s = jnp.where(samp_pop & (samp > age[:, None]), samp, big)
-        t = jnp.minimum(t, jnp.min(cand_s, axis=1))
-        return jnp.minimum(t, pe[pop])
+            below = (act[:, None, :] & (gen.mig_age[:, None, :]
+                                        < mids[:, :, None]))     # [L,K,M]
+            onb = (gen.mig_branch[:, None, :, None] ==
+                   jnp.arange(N)[None, None, None, :])           # [L,1,M,N]
+            keyed = jnp.where(onb & below[:, :, :, None],
+                              gen.mig_age[:, None, :, None], -jnp.inf)
+            best = jnp.argmax(keyed, axis=2)                     # [L,K,N]
+            has = jnp.any(keyed > -jnp.inf, axis=2)
+            band_at = jnp.take_along_axis(
+                gen.mig_band[:, None, :].repeat(mids.shape[1], 1), best,
+                axis=2)
+            traj = jnp.where(has, ctx.band_source[band_at],
+                             gen.node_pop[:, None, :])
+        else:
+            traj = jnp.broadcast_to(gen.node_pop[:, None, :],
+                                    alive.shape)
+        inpop = ctx.is_ancestral[pops[:, :, None], traj]
+        return jnp.sum(alive & inpop, axis=2).astype(dt), alive & inpop
 
-    def live_rate(pop, age):
-        """(total mig rate, [L, B] live mask) of bands into pop at time age."""
-        if Bn == 0:
-            return jnp.zeros((L,), dt), jnp.zeros((L, 0), bool)
-        live = ((ctx.band_target[None, :] == pop[:, None])
-                & (bs[None, :] <= age[:, None])
-                & (be[None, :] > age[:, None]))
-        rate = jnp.sum(jnp.where(live, params.mig_rate[None, :], 0.0), axis=1)
-        return rate, live
+    def seg_profile(pop0, age0):
+        """Segment decomposition above age0 along pop0's ancestor path.
 
-    def cond(st: _SimState):
-        return jnp.any(st.status == 0) & (st.iters < max_iters)
+        Returns (lo [L,K], hi [L,K], seg_pop [L,K], rate [L,K],
+        mig_rate [L,K], live [L,K,B])."""
+        b = jnp.maximum(bounds_all, age0[:, None])
+        b = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(ctx.oldage, dt), (L, 1)), b],
+            axis=1)
+        b = jnp.sort(b, axis=1)                                  # [L, K]
+        lo = jnp.concatenate([age0[:, None], b[:, :-1]], axis=1)
+        hi = b
+        mid = 0.5 * (lo + hi)
+        # population containing mid along the ancestor path of pop0
+        onpath = ctx.is_ancestral[:, pop0].T                     # [L, P]
+        inwin = ((params.tau[None, None, :] <= mid[:, :, None])
+                 & (mid[:, :, None] < pe[None, None, :]))        # [L,K,P]
+        hit = onpath[:, None, :] & inwin
+        seg_pop = jnp.argmax(hit, axis=2).astype(jnp.int32)
+        n, _ = coverage_counts(mid, seg_pop, node)
+        if Bn > 0:
+            live = ((ctx.band_target[None, None, :] == seg_pop[:, :, None])
+                    & (bs[None, None, :] <= mid[:, :, None])
+                    & (be[None, None, :] > mid[:, :, None]))     # [L,K,B]
+            mig_rate = jnp.sum(
+                jnp.where(live, params.mig_rate[None, None, :], 0.0),
+                axis=2)
+        else:
+            live = jnp.zeros((L, mid.shape[1], 0), bool)
+            mig_rate = jnp.zeros_like(mid)
+        rate = mig_rate + 2.0 * n / params.theta[seg_pop]
+        return lo, hi, seg_pop, rate, mig_rate, live, n
 
     def body(st: _SimState):
         alive = st.status == 0
-        nb = boundary(st.pop, st.age, node)
-        elapsed = nb - st.age
-        mig_rate, live = live_rate(st.pop, st.age)
-        tmid = (st.age + nb) * 0.5
-        cover = _covering_mask(gen, ctx, tmid, st.pop, node)
-        n = jnp.sum(cover, axis=1).astype(dt)
-        theta = params.theta[st.pop]
-        rate = mig_rate + 2.0 * n / theta
+        lo, hi, seg_pop, rate, mig_rate, live, n = seg_profile(st.pop, st.age)
+        seg_len = jnp.maximum(hi - lo, 0.0)
+        hz = rate * seg_len                                      # [L, K]
+        cum = jnp.cumsum(hz, axis=1)
+        u1, rng = R.rndu(st.rng, alive)
+        E = -jnp.log(jnp.maximum(u1, 1e-300)).astype(dt)
+        # first segment where cumulative hazard reaches E
+        reached = cum >= E[:, None]
+        k = jnp.argmax(reached, axis=1)
+        exits = ~jnp.any(reached, axis=1)                        # past OLDAGE
+        prev_cum = jnp.where(k > 0,
+                             jnp.take_along_axis(
+                                 cum, jnp.maximum(k - 1, 0)[:, None],
+                                 axis=1)[:, 0], 0.0)
+        rate_k = jnp.take_along_axis(rate, k[:, None], axis=1)[:, 0]
+        lo_k = jnp.take_along_axis(lo, k[:, None], axis=1)[:, 0]
+        t_event = lo_k + (E - prev_cum) / jnp.maximum(rate_k, 1e-300)
+        pop_k = jnp.take_along_axis(seg_pop, k[:, None], axis=1)[:, 0]
+        migr_k = jnp.take_along_axis(mig_rate, k[:, None], axis=1)[:, 0]
 
-        draw_mask = alive & (rate > 0.0)
-        u1, rng = R.rndu(st.rng, draw_mask)
-        tdraw = jnp.where(rate > 0.0,
-                          -jnp.log(jnp.maximum(u1, 1e-300)) / rate,
-                          elapsed)
-        no_event = tdraw >= elapsed
-
-        # --- no event: advance to boundary; if at pop top, ascend ---
-        at_top = no_event & (nb >= pe[st.pop] - 0.0)
-        exits_root = at_top & (st.pop == ctx.root_pop)
-        new_pop_a = jnp.where(at_top & ~exits_root,
-                              ctx.father_pop[st.pop], st.pop)
-        new_age_a = nb
-
-        # --- event: draw type ---
-        ev_mask = alive & ~no_event
+        ev_mask = alive & ~exits
         u2, rng = R.rndu(rng, ev_mask)
-        esample = u2 * rate
-        is_mig = ev_mask & (esample < mig_rate) & (Bn > 0)
-        t_event = st.age + tdraw
+        esample = (u2 * rate_k).astype(dt)
+        is_mig = ev_mask & (esample < migr_k) & (Bn > 0)
 
-        # migration: capacity check + band choice (cumulative in band order)
         over_cap = is_mig & (base_migs + st.n_new + 1 > M)
         if Bn > 0:
-            rates_live = jnp.where(live, params.mig_rate[None, :], 0.0)
-            cum = jnp.cumsum(rates_live, axis=1)
-            chosen = jnp.argmax(
-                (cum > esample[:, None]) & live, axis=1).astype(jnp.int32)
+            live_k = jnp.take_along_axis(
+                live, k[:, None, None].repeat(Bn, 2), axis=1)[:, 0, :]
+            rates_live = jnp.where(live_k, params.mig_rate[None, :], 0.0)
+            cumb = jnp.cumsum(rates_live, axis=1)
+            chosen = jnp.argmax((cumb > esample[:, None]) & live_k,
+                                axis=1).astype(jnp.int32)
             src_pop = ctx.band_source[chosen]
         else:
             chosen = jnp.zeros((L,), jnp.int32)
             src_pop = st.pop
         do_mig = is_mig & ~over_cap
         slot = jnp.clip(st.n_new, 0, M - 1)
-        new_band = jnp.where(
-            do_mig[:, None]
-            & (jnp.arange(M)[None, :] == slot[:, None]),
-            chosen[:, None], st.new_band)
-        new_age_arr = jnp.where(
-            do_mig[:, None]
-            & (jnp.arange(M)[None, :] == slot[:, None]),
-            t_event[:, None], st.new_age)
+        put = do_mig[:, None] & (jnp.arange(M)[None, :] == slot[:, None])
+        new_band = jnp.where(put, chosen[:, None], st.new_band)
+        new_age_arr = jnp.where(put, t_event[:, None], st.new_age)
         n_new = st.n_new + do_mig.astype(jnp.int32)
 
-        # coalescence: pick the i-th covering branch in node-id order
+        # coalescence: i-th covering branch (node-id order) at t_event
         is_coal = ev_mask & ~is_mig
-        i_pick = jnp.floor((esample - mig_rate) * theta / 2.0).astype(jnp.int32)
-        i_pick = jnp.clip(i_pick, 0, jnp.maximum(
-            jnp.sum(cover, axis=1) - 1, 0))
-        csum = jnp.cumsum(cover.astype(jnp.int32), axis=1)
+        n_k = jnp.take_along_axis(n, k[:, None], axis=1)[:, 0]
+        theta_k = params.theta[pop_k]
+        i_pick = jnp.floor((esample - migr_k) * theta_k / 2.0
+                           ).astype(jnp.int32)
+        i_pick = jnp.clip(i_pick, 0,
+                          jnp.maximum(n_k.astype(jnp.int32) - 1, 0))
+        _, covmask = coverage_counts(t_event[:, None], pop_k[:, None], node)
+        cov = covmask[:, 0, :]                                   # [L, N]
+        csum = jnp.cumsum(cov.astype(jnp.int32), axis=1)
         tgt = jnp.argmax(csum > i_pick[:, None], axis=1).astype(jnp.int32)
-        coal_ok = is_coal & (n > 0)
+        coal_ok = is_coal & (n_k > 0)
 
-        # --- merge transitions ---
         status = st.status
-        status = jnp.where(alive & exits_root, -1, status)
+        status = jnp.where(alive & exits, -1, status)
         status = jnp.where(over_cap, -1, status)
         status = jnp.where(coal_ok, 1, status)
-        # degenerate: coalescence drawn with n == 0 cannot happen since then
-        # rate == mig_rate and esample < mig_rate; keep as safety reject
-        status = jnp.where(is_coal & (n <= 0), -1, status)
+        status = jnp.where(is_coal & (n_k <= 0), -1, status)
 
-        pop = jnp.where(alive & no_event, new_pop_a, st.pop)
-        pop = jnp.where(do_mig, src_pop, pop)
-        age = jnp.where(alive & no_event, new_age_a, st.age)
-        age = jnp.where(ev_mask, t_event, age)
-
+        pop = jnp.where(do_mig, src_pop, st.pop)
+        # record the coalescence population (father_pop_new)
+        pop = jnp.where(coal_ok, pop_k, pop)
+        age = jnp.where(do_mig, t_event, st.age)
         target = jnp.where(coal_ok, tgt, st.target)
         coal_age = jnp.where(coal_ok, t_event, st.coal_age)
 
         return _SimState(pop=pop, age=age, status=status, rng=rng,
-                         n_new=n_new, new_band=new_band, new_age=new_age_arr,
-                         target=target, coal_age=coal_age,
-                         iters=st.iters + 1)
+                         n_new=n_new, new_band=new_band,
+                         new_age=new_age_arr, target=target,
+                         coal_age=coal_age, iters=st.iters + 1)
+
+    def cond(st: _SimState):
+        return jnp.any(st.status == 0) & (st.iters < max_steps)
 
     st0 = _SimState(
         pop=start_pop, age=start_age,
@@ -274,7 +310,6 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         iters=jnp.zeros((), jnp.int32),
     )
     st = lax.while_loop(cond, body, st0)
-    # safety: lanes still running after max_iters are rejected
     return st._replace(status=jnp.where(st.status == 0, -1, st.status))
 
 
