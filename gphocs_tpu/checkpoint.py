@@ -1,0 +1,78 @@
+"""Checkpoint / resume.
+
+The reference has no resume capability: a killed run keeps its flushed
+trace but all sampler state is lost (SURVEY §5; the trace flush at
+src/GPhoCS.c:1769 is the only persistence).  Here the complete sampler
+state — genealogy tensors, parameters, both RNG streams, finetunes and
+iteration counter — serializes to a single .npz, so runs resume exactly
+(the state is the full Markov state; the resumed chain is bit-identical
+to an uninterrupted one).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from gphocs_tpu import rng as R
+from gphocs_tpu.state import GenState, Params
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(sampler, path: str, iteration: int):
+    """Serialize the sampler's dynamic state."""
+    arrays = {}
+    for name, val in sampler.gen._asdict().items():
+        arrays[f"gen_{name}"] = np.asarray(val)
+    for name, val in sampler.params._asdict().items():
+        arrays[f"params_{name}"] = np.asarray(val)
+    for pfx, st in (("lrng", sampler.lrng), ("grng", sampler.grng)):
+        arrays[f"{pfx}_x"] = np.asarray(st.x)
+        arrays[f"{pfx}_y"] = np.asarray(st.y)
+        arrays[f"{pfx}_z"] = np.asarray(st.z)
+    arrays["lnld"] = np.asarray(sampler.lnld)
+    arrays["lnp"] = np.asarray(sampler.lnp)
+    arrays["iteration"] = np.asarray(iteration)
+    arrays["rate_var"] = np.asarray(sampler.rate_var)
+    arrays["format_version"] = np.asarray(_FORMAT_VERSION)
+    ft = {k: np.asarray([v.value, v.lo, v.hi])
+          for k, v in sampler.ft_search.items()}
+    for k, v in ft.items():
+        arrays[f"ft_{k}"] = v
+    arrays["ft_taus"] = np.asarray(
+        [[t.value, t.lo, t.hi] for t in sampler.ft_taus])
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(sampler, path: str) -> int:
+    """Restore state into an initialized sampler; returns the iteration to
+    resume from."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    assert int(data["format_version"]) == _FORMAT_VERSION
+    cast = lambda a: jnp.asarray(a)  # noqa: E731
+    sampler.gen = GenState(**{
+        name: cast(data[f"gen_{name}"]) for name in GenState._fields})
+    sampler.params = Params(**{
+        name: cast(data[f"params_{name}"]) for name in Params._fields})
+    sampler.lrng = R.RngState(x=cast(data["lrng_x"]), y=cast(data["lrng_y"]),
+                              z=cast(data["lrng_z"]))
+    sampler.grng = R.RngState(x=cast(data["grng_x"]), y=cast(data["grng_y"]),
+                              z=cast(data["grng_z"]))
+    sampler.lnld = cast(data["lnld"])
+    sampler.lnp = cast(data["lnp"])
+    sampler.rate_var = float(data["rate_var"])
+    for k, tracker in sampler.ft_search.items():
+        v = data[f"ft_{k}"]
+        tracker.value, tracker.lo, tracker.hi = map(float, v)
+    for t, row in zip(sampler.ft_taus, data["ft_taus"]):
+        t.value, t.lo, t.hi = map(float, row)
+    sampler._update_ft_device()
+    return int(data["iteration"])

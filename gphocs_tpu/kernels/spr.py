@@ -156,14 +156,13 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
     max_steps = M + 3
 
-    def coverage_counts(mids, pops, exclude):
-        """[L, K] lineage counts: remaining branches alive in pops[l,k]
-        at mids[l,k]."""
+    def _traj_and_alive(mids):
+        """[L,K,N] (alive, traj): branch liveness and trajectory pop at
+        each candidate time."""
         alive = ((gen.age[:, None, :] <= mids[:, :, None])
                  & (mids[:, :, None] < top_all[:, None, :]))     # [L,K,N]
         alive = alive & (jnp.arange(N)[None, None, :]
-                         != exclude[:, None, None])
-        # branch trajectory pop at each mid
+                         != node[:, None, None])
         if Bn > 0:
             below = (act[:, None, :] & (gen.mig_age[:, None, :]
                                         < mids[:, :, None]))     # [L,K,M]
@@ -179,53 +178,62 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
             traj = jnp.where(has, ctx.band_source[band_at],
                              gen.node_pop[:, None, :])
         else:
-            traj = jnp.broadcast_to(gen.node_pop[:, None, :],
-                                    alive.shape)
-        inpop = ctx.is_ancestral[pops[:, :, None], traj]
-        return jnp.sum(alive & inpop, axis=2).astype(dt), alive & inpop
+            traj = jnp.broadcast_to(gen.node_pop[:, None, :], alive.shape)
+        return alive, traj
 
-    def seg_profile(pop0, age0):
-        """Segment decomposition above age0 along pop0's ancestor path.
-
-        Returns (lo [L,K], hi [L,K], seg_pop [L,K], rate [L,K],
-        mig_rate [L,K], live [L,K,B])."""
-        b = jnp.maximum(bounds_all, age0[:, None])
-        b = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(ctx.oldage, dt), (L, 1)), b],
-            axis=1)
-        b = jnp.sort(b, axis=1)                                  # [L, K]
-        lo = jnp.concatenate([age0[:, None], b[:, :-1]], axis=1)
-        hi = b
-        mid = 0.5 * (lo + hi)
-        # population containing mid along the ancestor path of pop0
-        onpath = ctx.is_ancestral[:, pop0].T                     # [L, P]
-        inwin = ((params.tau[None, None, :] <= mid[:, :, None])
-                 & (mid[:, :, None] < pe[None, None, :]))        # [L,K,P]
-        hit = onpath[:, None, :] & inwin
-        seg_pop = jnp.argmax(hit, axis=2).astype(jnp.int32)
-        n, _ = coverage_counts(mid, seg_pop, node)
-        if Bn > 0:
-            live = ((ctx.band_target[None, None, :] == seg_pop[:, :, None])
-                    & (bs[None, None, :] <= mid[:, :, None])
-                    & (be[None, None, :] > mid[:, :, None]))     # [L,K,B]
-            mig_rate = jnp.sum(
-                jnp.where(live, params.mig_rate[None, None, :], 0.0),
-                axis=2)
-        else:
-            live = jnp.zeros((L, mid.shape[1], 0), bool)
-            mig_rate = jnp.zeros_like(mid)
-        rate = mig_rate + 2.0 * n / params.theta[seg_pop]
-        return lo, hi, seg_pop, rate, mig_rate, live, n
+    # ---- static per-node-step tables over the segment grid ----
+    # The candidate boundary set is state-independent during the walk, so
+    # segment tables for ALL populations are computed once; each walk step
+    # then only gathers per-(locus, segment) scalars.
+    b_sorted = jnp.sort(jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(ctx.oldage, dt), (L, 1)), bounds_all],
+        axis=1), axis=1)                                         # [L, K]
+    mids0 = 0.5 * (jnp.concatenate(
+        [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1) + b_sorted)
+    alive0, traj0 = _traj_and_alive(mids0)
+    # n_all[l,k,p] = number of remaining branches whose trajectory pop is
+    # under p at segment k: one-hot(traj) summed then lifted by ancestry
+    onehot_traj = (traj0[:, :, :, None] ==
+                   jnp.arange(P)[None, None, None, :]) & alive0[:, :, :, None]
+    n_by_base = jnp.sum(onehot_traj, axis=2).astype(dt)          # [L,K,P]
+    n_all = jnp.einsum("lkq,pq->lkp", n_by_base,
+                       ctx.is_ancestral.astype(dt))              # [L,K,P]
+    inwin0 = ((params.tau[None, None, :] <= mids0[:, :, None])
+              & (mids0[:, :, None] < pe[None, None, :]))         # [L,K,P]
+    if Bn > 0:
+        live0 = ((bs[None, None, :] <= mids0[:, :, None])
+                 & (be[None, None, :] > mids0[:, :, None]))      # [L,K,B]
+        # migration rate into pop p at segment k
+        tgt_onehot = (ctx.band_target[None, :] ==
+                      jnp.arange(P)[:, None]).astype(dt)         # [P,B]
+        migr_all = jnp.einsum(
+            "lkb,pb->lkp",
+            jnp.where(live0, params.mig_rate[None, None, :], 0.0), tgt_onehot)
+    else:
+        live0 = jnp.zeros((L, b_sorted.shape[1], 0), bool)
+        migr_all = jnp.zeros_like(n_all)
 
     def body(st: _SimState):
         alive = st.status == 0
-        lo, hi, seg_pop, rate, mig_rate, live, n = seg_profile(st.pop, st.age)
-        seg_len = jnp.maximum(hi - lo, 0.0)
-        hz = rate * seg_len                                      # [L, K]
+        # per-lane segment view above the current age along the current
+        # pop's ancestor path, from the precomputed tables
+        lo = jnp.maximum(jnp.concatenate(
+            [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1),
+            st.age[:, None])
+        hi = jnp.maximum(b_sorted, st.age[:, None])
+        seg_len = jnp.maximum(hi - lo, 0.0)                      # [L, K]
+        onpath = ctx.is_ancestral[:, st.pop].T                   # [L, P]
+        hit = onpath[:, None, :] & inwin0                        # [L,K,P]
+        seg_pop = jnp.argmax(hit, axis=2).astype(jnp.int32)      # [L, K]
+        n = jnp.take_along_axis(n_all, seg_pop[:, :, None],
+                                axis=2)[:, :, 0]                 # [L, K]
+        mig_rate = jnp.take_along_axis(migr_all, seg_pop[:, :, None],
+                                       axis=2)[:, :, 0]
+        rate = mig_rate + 2.0 * n / params.theta[seg_pop]
+        hz = rate * seg_len
         cum = jnp.cumsum(hz, axis=1)
         u1, rng = R.rndu(st.rng, alive)
         E = -jnp.log(jnp.maximum(u1, 1e-300)).astype(dt)
-        # first segment where cumulative hazard reaches E
         reached = cum >= E[:, None]
         k = jnp.argmax(reached, axis=1)
         exits = ~jnp.any(reached, axis=1)                        # past OLDAGE
@@ -246,8 +254,9 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
         over_cap = is_mig & (base_migs + st.n_new + 1 > M)
         if Bn > 0:
-            live_k = jnp.take_along_axis(
-                live, k[:, None, None].repeat(Bn, 2), axis=1)[:, 0, :]
+            live_k = ((ctx.band_target[None, :] == pop_k[:, None])
+                      & (bs[None, :] <= t_event[:, None])
+                      & (be[None, :] > t_event[:, None]))        # [L, B]
             rates_live = jnp.where(live_k, params.mig_rate[None, :], 0.0)
             cumb = jnp.cumsum(rates_live, axis=1)
             chosen = jnp.argmax((cumb > esample[:, None]) & live_k,
@@ -271,8 +280,7 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
                            ).astype(jnp.int32)
         i_pick = jnp.clip(i_pick, 0,
                           jnp.maximum(n_k.astype(jnp.int32) - 1, 0))
-        _, covmask = coverage_counts(t_event[:, None], pop_k[:, None], node)
-        cov = covmask[:, 0, :]                                   # [L, N]
+        cov = _covering_mask(gen, ctx, t_event, pop_k, node)     # [L, N]
         csum = jnp.cumsum(cov.astype(jnp.int32), axis=1)
         tgt = jnp.argmax(csum > i_pick[:, None], axis=1).astype(jnp.int32)
         coal_ok = is_coal & (n_k > 0)

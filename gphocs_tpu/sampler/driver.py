@@ -8,6 +8,7 @@ finetune binary search (reference :1898-2250, constants src/GPhoCS.h:21-25).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -260,11 +261,22 @@ class Sampler:
         return stats, trace
 
     def run(self, trace_path: Optional[str] = None,
-            progress: bool = False):
+            progress: bool = False,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0,
+            resume: bool = False):
         """Full MCMC per the control file.  Returns the trace as
-        (header_cols, numpy array)."""
+        (header_cols, numpy array).
+
+        checkpoint_path/_every: periodically serialize the full sampler
+        state; resume=True restores it and continues bit-identically."""
         cfg = self.cfg
         self.initialize()
+        resume_iteration = None
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from gphocs_tpu.checkpoint import load_checkpoint
+
+            resume_iteration = load_checkpoint(self, checkpoint_path)
         tree = self.tree
         P = tree.num_pops
         L = self.num_loci
@@ -290,6 +302,8 @@ class Sampler:
 
         it_start = -cfg.mcmc.burn_in
         iteration = it_start
+        if resume_iteration is not None:
+            iteration = resume_iteration
         while iteration < cfg.mcmc.mcmc_iterations:
             # chunk until the next boundary: a log point, the start-mig
             # switch (migration-rate sampling + update gating change), or
@@ -361,6 +375,16 @@ class Sampler:
                 log_count = 0
                 mig_nodes_accum = 0
 
+            if (checkpoint_path and checkpoint_every > 0
+                    and iteration % checkpoint_every == 0):
+                from gphocs_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(self, checkpoint_path, iteration)
+
+        if checkpoint_path:
+            from gphocs_tpu.checkpoint import save_checkpoint
+
+            save_checkpoint(self, checkpoint_path, iteration)
         if tf:
             tf.close()
         cols = header.split("\t")

@@ -72,3 +72,17 @@ def test_acceptance_rates_nontrivial(data_file):
         tot_spr += int(st.acc_spr)
     assert tot_ct > 0, "no coal-time proposals accepted in 15 iterations"
     assert tot_spr > 0, "no SPR proposals accepted in 15 iterations"
+
+
+def test_checkpoint_resume_bitexact(data_file, tmp_path):
+    """A resumed run must continue bit-identically to an uninterrupted one."""
+    ckpt = str(tmp_path / "state.npz")
+    s1 = _make_sampler(data_file, mcmc_iterations=8)
+    cols1, rows1 = s1.run()
+
+    s2 = _make_sampler(data_file, mcmc_iterations=4)
+    s2.run(checkpoint_path=ckpt)
+    s3 = _make_sampler(data_file, mcmc_iterations=8)
+    cols3, rows3 = s3.run(checkpoint_path=ckpt, resume=True)
+
+    np.testing.assert_array_equal(rows1[4:], rows3[rows3[:, 0] >= 4])
