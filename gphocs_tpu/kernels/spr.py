@@ -397,26 +397,17 @@ def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
     mig_band = jnp.where(keep, gen.mig_band, 0)
     mig_age = jnp.where(keep, gen.mig_age, 0.0)
 
-    # add the new simulated events into free slots (branch = node)
-    def add_new(carry, k):
-        mig_branch, mig_band, mig_age = carry
-        want = accept & (k < sim.n_new)
-        free = mig_branch < 0
-        # first free slot
-        slot = jnp.argmax(free, axis=1)
-        has_free = jnp.any(free, axis=1)
-        put = want & has_free
-        mig_branch = mig_branch.at[ar, slot].set(
-            jnp.where(put, node, mig_branch[ar, slot]))
-        mig_band = mig_band.at[ar, slot].set(
-            jnp.where(put, sim.new_band[ar, k], mig_band[ar, slot]))
-        mig_age = mig_age.at[ar, slot].set(
-            jnp.where(put, sim.new_age[ar, k], mig_age[ar, slot]))
-        return (mig_branch, mig_band, mig_age), None
-
-    (mig_branch, mig_band, mig_age), _ = lax.scan(
-        add_new, (mig_branch, mig_band, mig_age),
-        jnp.arange(M, dtype=jnp.int32))
+    # add the new simulated events into free slots (branch = node):
+    # the j-th free slot receives the j-th new event — one masked write
+    free = mig_branch < 0
+    rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1      # [L, M]
+    recv = accept[:, None] & free & (rank < sim.n_new[:, None])
+    rank_safe = jnp.clip(rank, 0, M - 1)
+    mig_branch = jnp.where(recv, node[:, None], mig_branch)
+    mig_band = jnp.where(
+        recv, jnp.take_along_axis(sim.new_band, rank_safe, axis=1), mig_band)
+    mig_age = jnp.where(
+        recv, jnp.take_along_axis(sim.new_age, rank_safe, axis=1), mig_age)
 
     return gen._replace(father=father, lson=lson, rson=rson, age=age,
                         node_pop=node_pop, root=root,
