@@ -1,0 +1,61 @@
+"""Tests for tools: readTrace, alignstats, controlgen, Newick I/O."""
+
+import numpy as np
+
+from gphocs_tpu.model.newick import genealogy_to_newick, parse_newick
+from gphocs_tpu.tools.alignstats import (
+    classify_pattern,
+    two_site_test,
+)
+from gphocs_tpu.tools.controlgen import build_config, config_to_control_text
+from gphocs_tpu.config import parse_control_text
+
+
+def test_newick_roundtrip():
+    fa, ls, rs, age, root, names = parse_newick(
+        "((a:1.0,b:1.0):0.5,c:1.5);")
+    assert names == ["a", "b", "c"]
+    np.testing.assert_allclose(age[root], 1.5)
+    txt = genealogy_to_newick(fa, ls, rs, age, root, names)
+    fa2, ls2, rs2, age2, root2, names2 = parse_newick(txt)
+    np.testing.assert_allclose(age2, age)
+    np.testing.assert_array_equal(fa2, fa)
+
+
+def test_pattern_classification():
+    # het singleton: one C genome among Ts -> non-informative
+    assert classify_pattern("TTTY") == 0
+    # homozygote C slot = two C genomes -> informative
+    assert classify_pattern("TTTC") == 1
+    # two Cs -> informative biallelic
+    assert classify_pattern("TTCC") == 1
+    # het counts as one of each
+    assert classify_pattern("TTYC") == 1
+    # tri-allelic beyond a singleton
+    assert classify_pattern("TTCCAA") == 2
+
+
+def test_four_gamete():
+    # all four gametes TT, TC, CT, CC across two sites -> violation
+    assert two_site_test("TTCC", "TCTC") == 1
+    # compatible pair (only 3 gametes)
+    assert two_site_test("TTCC", "TTTC") == 0
+    # double-het ambiguity -> potential violation at most
+    assert two_site_test("TYC", "TYC") in (0, 2)
+
+
+def test_controlgen_roundtrip():
+    cfg = build_config(
+        "((A,B)AB,C)root",
+        {"A": [("a1", "d")], "B": [("b1", "d")], "C": [("c1", "h")]},
+        bands=[("A", "B")],
+        seq_file="seqs.txt", mcmc_iterations=5000,
+        tau_theta_alpha=1.0, tau_theta_beta=10000.0,
+        mig_rate_alpha=0.002, mig_rate_beta=1e-5,
+        find_finetunes=True)
+    text = config_to_control_text(cfg)
+    cfg2 = parse_control_text(text)
+    assert [p.name for p in cfg2.pops] == ["A", "B", "C", "AB", "root"]
+    assert cfg2.num_samples == 5
+    assert len(cfg2.bands) == 1 and cfg2.bands[0].source == "A"
+    assert cfg2.mcmc.mcmc_iterations == 5000
