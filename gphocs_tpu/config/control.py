@@ -128,6 +128,12 @@ def _parse_general_info(c: _Cursor, m: MCMCSettings):
             m.mig_rate_alpha = c.next_float(tok)
         elif tok == "mig-rate-beta":
             m.mig_rate_beta = c.next_float(tok)
+        elif tok == "admixture":
+            # present-but-commented-out in the reference
+            # (src/MCMCcontrol.c:691-699); re-enabled here
+            m.allow_admixture = c.next_bool(tok)
+        elif tok == "finetune-admix":
+            ft.admix = c.next_float(tok)
         elif tok == "locus-mut-rate":
             v = c.next()
             if v == "CONST":
@@ -342,6 +348,30 @@ def _validate(cfg: RunConfig):
         m.iterations_per_log = 100
     if m.logs_per_line <= 0:
         m.logs_per_line = 100
+
+    # admixture: a sample name appearing in two current pops becomes an
+    # admixed sample; the second occurrence is removed (reference
+    # parseSampleNames, src/MCMCcontrol.c:1368-1467 — note the reference's
+    # dormant implementation decrements the wrong pop's sample count; the
+    # corrected semantics are used here)
+    cfg.admixed = []
+    seen = {}
+    for pi, p in enumerate(cfg.cur_pops):
+        for (nm, fmt) in list(p.samples):
+            if nm in seen:
+                (pj, fmt0) = seen[nm]
+                if not m.allow_admixture:
+                    raise ControlFileError(
+                        f"sample {nm!r} appears in two populations; "
+                        "set 'admixture TRUE' to model admixture")
+                if fmt0 != fmt:
+                    raise ControlFileError(
+                        f"admixed sample {nm!r} is {fmt0!r} in one pop "
+                        f"and {fmt!r} in the other")
+                p.samples.remove((nm, fmt))
+                cfg.admixed.append((nm, pj, pi, fmt))
+            else:
+                seen[nm] = (pi, fmt)
 
     pop_names = [p.name for p in cfg.pops]
     if len(set(pop_names)) != len(pop_names):

@@ -89,6 +89,7 @@ class MCMCSettings:
     var_rates_alpha: float = -1.0
     rate_file: str = "NONE"
     genetree_samples: int = 1  # fixed at 1 in the reference (initGeneralInfo)
+    allow_admixture: bool = False
     find_finetunes: bool = False
     find_finetunes_num_steps: int = 100
     find_finetunes_samples_per_step: int = 100
@@ -103,6 +104,9 @@ class RunConfig:
     cur_pops: List[PopSpec] = field(default_factory=list)
     anc_pops: List[PopSpec] = field(default_factory=list)
     bands: List[BandSpec] = field(default_factory=list)
+    # admixed samples: (name, first_pop_idx, second_pop_idx, 'h'|'d'),
+    # filled during validation when 'admixture TRUE'
+    admixed: List[tuple] = field(default_factory=list)
 
     @property
     def num_cur_pops(self) -> int:
@@ -161,12 +165,30 @@ class RunConfig:
             1 for p in self.cur_pops if p.update_sample_age or p.sample_age > 0.0
         )
 
+    def admixed_slots(self):
+        """Haploid slot indices + pop pairs of admixed samples:
+        [(slot, popA, popB)], both slots for diploids."""
+        slot_of = {}
+        slot = 0
+        for p in self.cur_pops:
+            for nm, fmt in p.samples:
+                slot_of[nm] = slot
+                slot += 2 if fmt == "d" else 1
+        out = []
+        for (nm, pa, pb, fmt) in self.admixed:
+            s0 = slot_of[nm]
+            out.append((s0, pa, pb))
+            if fmt == "d":
+                out.append((s0 + 1, pa, pb))
+        return out
+
     def num_parameters(self) -> int:
-        """reference: src/MCMCcontrol.c:428-441 (admixture currently 0)."""
+        """reference: src/MCMCcontrol.c:428-441."""
         return (
             2 * self.num_pops
             - self.num_cur_pops
             + len(self.bands)
             + self.num_ancient_pops()
+            + len(self.admixed_slots())
             + (1 if self.mcmc.mut_rate_mode == 1 else 0)
         )

@@ -30,6 +30,9 @@ def trace_header(tree: PopTree, var_mut: bool = False) -> str:
     for p in range(tree.num_cur_pops):
         if tree.update_sample_age[p] or tree.sample_age[p] > 0.0:
             cols.append(f"tau_{tree.names[p]}")
+    for a in range(len(tree.admix_slot)):
+        cols.append(
+            f"A{tree.admix_slot[a]}[{tree.names[tree.admix_pops[a, 1]]}]")
     if var_mut:
         cols.append("Variance-Mut")
     cols += ["Data-ld-ln", "Full-ld-ln"]
@@ -37,7 +40,7 @@ def trace_header(tree: PopTree, var_mut: bool = False) -> str:
 
 
 def record_param_vals(tree: PopTree, theta, tau, sample_age, mig_rate,
-                      rate_var=None) -> List[float]:
+                      rate_var=None, admix_coeff=None) -> List[float]:
     """Parameter vector in trace order (reference recordParamVals,
     src/GPhoCS.c:802-851)."""
     vals = list(np.asarray(theta))
@@ -46,6 +49,8 @@ def record_param_vals(tree: PopTree, theta, tau, sample_age, mig_rate,
     for p in range(tree.num_cur_pops):
         if tree.update_sample_age[p] or tree.sample_age[p] > 0.0:
             vals.append(float(sample_age[p]))
+    if admix_coeff is not None:
+        vals += list(np.asarray(admix_coeff))
     if rate_var is not None:
         vals.append(float(np.sqrt(rate_var)))
     return vals
@@ -58,6 +63,7 @@ def print_factors(tree: PopTree, var_mut: bool = False) -> np.ndarray:
     for p in range(tree.num_cur_pops):
         if tree.update_sample_age[p] or tree.sample_age[p] > 0.0:
             f.append(tree.tau_print[p])
+    f += [1.0] * len(tree.admix_slot)
     if var_mut:
         f.append(1.0)
     return np.asarray(f)

@@ -36,6 +36,8 @@ class Context:
     mig_beta: jnp.ndarray
     sample_pop: jnp.ndarray     # [S] int32
     update_sample_age: jnp.ndarray  # [P] bool
+    admix_slot: jnp.ndarray     # [A] int32
+    admix_pops: jnp.ndarray     # [A, 2] int32
     root_pop: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_cur_pops: int = dataclasses.field(metadata=dict(static=True),
                                           default=0)
@@ -49,6 +51,10 @@ class Context:
     @property
     def num_bands(self) -> int:
         return self.band_source.shape[0]
+
+    @property
+    def num_admixed(self) -> int:
+        return self.admix_slot.shape[0]
 
 
 def make_context(tree: PopTree, dtype=jnp.float64) -> Context:
@@ -66,6 +72,8 @@ def make_context(tree: PopTree, dtype=jnp.float64) -> Context:
         mig_beta=jnp.asarray(tree.mig_beta, dtype),
         sample_pop=jnp.asarray(tree.sample_pop),
         update_sample_age=jnp.asarray(tree.update_sample_age),
+        admix_slot=jnp.asarray(tree.admix_slot),
+        admix_pops=jnp.asarray(tree.admix_pops),
         root_pop=int(tree.root_pop),
         num_cur_pops=int(tree.num_cur_pops),
         oldage=OLDAGE,
@@ -109,7 +117,17 @@ def full_stats(gen: GenState, params: Params, ctx: Context):
 def gen_log_prior(gen: GenState, params: Params, ctx: Context) -> jnp.ndarray:
     from gphocs_tpu.ops.coalstats import genealogy_log_prior
 
-    return genealogy_log_prior(full_stats(gen, params, ctx), params)
+    lnp = genealogy_log_prior(full_stats(gen, params, ctx), params)
+    if ctx.num_admixed > 0:
+        # admixture assignment terms (reference gtreeLnLikelihood,
+        # src/patch.c:2725-2735): log(c) when the admixed leaf sits in its
+        # second pop, log(1-c) in its first
+        leaf_pop = gen.node_pop[:, ctx.admix_slot]         # [L, A]
+        in_second = leaf_pop == ctx.admix_pops[None, :, 1]
+        c = params.admix_coeff[None, :]
+        lnp = lnp + jnp.sum(
+            jnp.where(in_second, jnp.log(c), jnp.log1p(-c)), axis=1)
+    return lnp
 
 
 def first_mig_above(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):

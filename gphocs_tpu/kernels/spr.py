@@ -422,16 +422,40 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
     be recomputed by the caller afterwards."""
     L = gen.num_loci
     N = gen.num_nodes
+    A = ctx.num_admixed
+    if A > 0:
+        is_adm = jnp.zeros((N,), bool).at[ctx.admix_slot].set(True)
+        adm_idx = jnp.zeros((N,), jnp.int32).at[ctx.admix_slot].set(
+            jnp.arange(A, dtype=jnp.int32))
+        pop_a = jnp.zeros((N,), jnp.int32).at[ctx.admix_slot].set(
+            ctx.admix_pops[:, 0])
+        pop_b = jnp.zeros((N,), jnp.int32).at[ctx.admix_slot].set(
+            ctx.admix_pops[:, 1])
 
     def body(carry, inode):
         gen, rng_state, lnld, acc = carry
         node = jnp.full((L,), inode, jnp.int32)
         not_root = gen.root != inode
-        sim = _simulate_reconnect(gen, params, ctx, node, rng_state, not_root)
+        gen_sim = gen
+        if A > 0:
+            # admixed leaves resample their population assignment w.p. the
+            # admixture coefficient before re-coalescing
+            # (reference src/GPhoCS.c:2670-2696); rejection falls back to
+            # the original `gen` in the final select below
+            adm = is_adm[inode]
+            u_adm, rng_state = R.rndu(rng_state,
+                                      jnp.broadcast_to(adm, (L,)) & not_root)
+            coeff = params.admix_coeff[adm_idx[inode]]
+            new_pop = jnp.where(u_adm < coeff, pop_b[inode], pop_a[inode])
+            resample = jnp.broadcast_to(adm, (L,)) & not_root
+            gen_sim = gen._replace(node_pop=gen.node_pop.at[:, inode].set(
+                jnp.where(resample, new_pop, gen.node_pop[:, inode])))
+        sim = _simulate_reconnect(gen_sim, params, ctx, node, rng_state,
+                                  not_root)
         rng_state = sim.rng
         ok = sim.status == 1
 
-        gen_prop = _apply_spr(gen, ctx, node, ok, sim)
+        gen_prop = _apply_spr(gen_sim, ctx, node, ok, sim)
         lnld_prop = data_log_likelihood(gen_prop, seq)
         lnacc = lnld_prop - lnld
         accept, rng_state = mh_accept(rng_state, lnacc, ok)

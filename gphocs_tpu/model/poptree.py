@@ -50,6 +50,9 @@ class PopTree:
     band_target: np.ndarray   # [B] int32
     mig_alpha: np.ndarray     # [B]
     mig_beta: np.ndarray      # [B]
+    # admixed samples
+    admix_slot: np.ndarray    # [A] int32 haploid slot ids
+    admix_pops: np.ndarray    # [A, 2] int32 (first pop, second pop)
     # trace output scaling
     theta_print: np.ndarray   # [P]
     tau_print: np.ndarray     # [P]
@@ -92,6 +95,10 @@ def build_poptree(cfg: RunConfig) -> PopTree:
                 sample_pop.append(pi)
     sample_pop = np.array(sample_pop, np.int32)
 
+    adm = cfg.admixed_slots()
+    admix_slot = np.array([a[0] for a in adm], np.int32)
+    admix_pops = np.array([[a[1], a[2]] for a in adm], np.int32).reshape(-1, 2)
+
     band_source = np.array([idx[b.source] for b in cfg.bands], np.int32)
     band_target = np.array([idx[b.target] for b in cfg.bands], np.int32)
     mig_alpha = np.array([b.mig_rate_alpha for b in cfg.bands])
@@ -115,6 +122,8 @@ def build_poptree(cfg: RunConfig) -> PopTree:
         num_samples=cfg.num_samples,
         sample_pop=sample_pop,
         samples_per_pop=np.array(cfg.samples_per_pop(), np.int32),
+        admix_slot=admix_slot,
+        admix_pops=admix_pops,
         num_bands=len(cfg.bands),
         band_source=band_source,
         band_target=band_target,

@@ -144,7 +144,8 @@ class Sampler:
                                      mut_rate=cast(gen_np.mut_rate))
         self.params = Params(theta=cast(params.theta), tau=cast(params.tau),
                              sample_age=cast(params.sample_age),
-                             mig_rate=cast(params.mig_rate))
+                             mig_rate=cast(params.mig_rate),
+                             admix_coeff=cast(params.admix_coeff))
         x, y, z = self.host_rng.state_arrays()
         # per-locus streams [L] and general stream [1] are kept separate so
         # that locus streams shard cleanly over the loci mesh axis
@@ -168,6 +169,7 @@ class Sampler:
             "mig_rate": _FinetuneSearch(seedv(ftc.mig_rate)),
             "mixing": _FinetuneSearch(seedv(ftc.mixing)),
             "locus_rate": _FinetuneSearch(seedv(ftc.locus_rate)),
+            "admix": _FinetuneSearch(seedv(ftc.admix)),
         }
         self.ft_taus = [
             _FinetuneSearch(seedv(v) if v > 0 or cfg.mcmc.find_finetunes
@@ -188,6 +190,7 @@ class Sampler:
             mixing=jnp.asarray(self.ft_search["mixing"].value, self.dtype),
             locus_rate=jnp.asarray(self.ft_search["locus_rate"].value,
                                    self.dtype),
+            admix=jnp.asarray(self.ft_search["admix"].value, self.dtype),
             taus=jnp.asarray([t.value for t in self.ft_taus], self.dtype),
         )
 
@@ -339,7 +342,9 @@ class Sampler:
                     vals = trace_io.record_param_vals(
                         tree, tr_np.theta[j], tr_np.tau[j],
                         tr_np.sample_age[j], tr_np.mig_rate[j],
-                        self.rate_var if var_mut else None)
+                        self.rate_var if var_mut else None,
+                        tr_np.admix_coeff[j]
+                        if len(tree.admix_slot) else None)
                     row = trace_io.format_row(it, vals, factors, full,
                                               lnld_sum)
                     rows.append([it] + [v * f for v, f in

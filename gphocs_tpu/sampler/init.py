@@ -53,8 +53,11 @@ def sample_pop_parameters(tree: PopTree, rng: HostRng) -> Params:
             order.append(int(tree.sons[p, 1]))
 
     mig_rate = np.zeros(tree.num_bands)
+    # admixture coefficients start at 0.5 (reference src/GPhoCS.c:1094)
+    admix = np.full(len(tree.admix_slot), 0.5)
     return Params(theta=theta, tau=tau,
-                  sample_age=tree.sample_age.copy(), mig_rate=mig_rate)
+                  sample_age=tree.sample_age.copy(), mig_rate=mig_rate,
+                  admix_coeff=admix)
 
 
 def sample_mig_rates(tree: PopTree, rng: HostRng) -> np.ndarray:

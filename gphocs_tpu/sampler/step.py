@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from gphocs_tpu.kernels.common import Context, full_stats, gen_log_prior
 from gphocs_tpu.kernels.mig_age import update_mig_ages
 from gphocs_tpu.kernels.mixing import update_mixing
+from gphocs_tpu.kernels.admix import update_admix_coeffs
 from gphocs_tpu.kernels.locus_rate import update_locus_rates
 from gphocs_tpu.kernels.node_age import update_internal_node_ages
 from gphocs_tpu.kernels.scalar_params import update_mig_rates, update_thetas
@@ -41,6 +42,7 @@ class Finetunes(NamedTuple):
     mig_rate: jnp.ndarray
     mixing: jnp.ndarray
     locus_rate: jnp.ndarray
+    admix: jnp.ndarray
     taus: jnp.ndarray  # [P]
 
 
@@ -52,6 +54,7 @@ class StepStats(NamedTuple):
     acc_mig_rate: jnp.ndarray
     acc_taus: jnp.ndarray       # [P]
     acc_mixing: jnp.ndarray
+    acc_admix: jnp.ndarray
     acc_locus_rate: jnp.ndarray
     rate_var_delta: jnp.ndarray
     tau_conflicts: jnp.ndarray
@@ -66,7 +69,7 @@ class StepStats(NamedTuple):
                      "num_pops", "num_cur_pops", "sample_age_mask",
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
-                     "locus_rate_on", "var_alpha"))
+                     "locus_rate_on", "var_alpha", "admix_on"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -75,8 +78,9 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    coal_time_on: bool = True, mig_time_on: bool = True,
                    theta_on: bool = True, mig_rate_on: bool = True,
                    mixing_on: bool = True, var_rates: bool = False,
-                   locus_rate_on: bool = True, var_alpha: float = 1.0):
-    """Returns (gen, params, rng_state, lnld, lnp, StepStats)."""
+                   locus_rate_on: bool = True, var_alpha: float = 1.0,
+                   admix_on: bool = True):
+    """Returns (gen, params, lrng, grng, lnld, lnp, StepStats)."""
     acc_ct = jnp.zeros((), jnp.int32)
     acc_mt = jnp.zeros((), jnp.int32)
     acc_spr = jnp.zeros((), jnp.int32)
@@ -126,6 +130,12 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
 
+    if ctx.num_admixed > 0 and admix_on:
+        params, grng, lnp, acc_adm = update_admix_coeffs(
+            gen, params, grng, ctx, ft.admix, lnp)
+    else:
+        acc_adm = jnp.zeros((), jnp.int32)
+
     if do_mixing and mixing_on:
         stats2 = full_stats(gen, params, ctx)
         gen, params, grng, lnld, lnp, acc_mix = update_mixing(
@@ -139,7 +149,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     out = StepStats(
         acc_coal_time=acc_ct, acc_mig_time=acc_mt, acc_spr=acc_spr,
         acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
-        acc_mixing=acc_mix, acc_locus_rate=acc_lr, rate_var_delta=dvar,
+        acc_mixing=acc_mix, acc_admix=acc_adm,
+        acc_locus_rate=acc_lr, rate_var_delta=dvar,
         tau_conflicts=conflicts,
         num_migs_total=nmig_total,
         lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
@@ -153,6 +164,7 @@ class ChunkTrace(NamedTuple):
     tau: jnp.ndarray          # [K, P]
     sample_age: jnp.ndarray   # [K, P]
     mig_rate: jnp.ndarray     # [K, B]
+    admix_coeff: jnp.ndarray  # [K, A]
     lnld_sum: jnp.ndarray     # [K]
     lnp_sum: jnp.ndarray      # [K]
 
@@ -163,7 +175,7 @@ class ChunkTrace(NamedTuple):
                      "do_mixing", "num_pops", "num_cur_pops",
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
-                     "locus_rate_on", "var_alpha"))
+                     "locus_rate_on", "var_alpha", "admix_on"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -171,7 +183,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                coal_time_on: bool = True, mig_time_on: bool = True,
                theta_on: bool = True, mig_rate_on: bool = True,
                mixing_on: bool = True, var_rates: bool = False,
-               locus_rate_on: bool = True, var_alpha: float = 1.0):
+               locus_rate_on: bool = True, var_alpha: float = 1.0,
+               admix_on: bool = True):
     """Run n_iters full iterations in one compiled call (amortizes host
     dispatch; essential on TPU where per-call latency dwarfs compute for
     small models).  Returns accumulated StepStats and a ChunkTrace with
@@ -187,10 +200,12 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             coal_time_on=coal_time_on, mig_time_on=mig_time_on,
             theta_on=theta_on, mig_rate_on=mig_rate_on,
             mixing_on=mixing_on, var_rates=var_rates,
-            locus_rate_on=locus_rate_on, var_alpha=var_alpha)
+            locus_rate_on=locus_rate_on, var_alpha=var_alpha,
+            admix_on=admix_on)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
+                              admix_coeff=params.admix_coeff,
                               lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum))
         return (gen, params, lrng, grng, lnld, lnp), out
 

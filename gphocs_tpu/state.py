@@ -81,6 +81,7 @@ class Params(NamedTuple):
     tau: jnp.ndarray         # [P]: age of each pop (0 for current pops)
     sample_age: jnp.ndarray  # [P]: ancient-sample age per (current) pop
     mig_rate: jnp.ndarray    # [B]
+    admix_coeff: jnp.ndarray = None  # [A] admixture coefficients
 
 
 def pop_end_times(tau: jnp.ndarray, father: np.ndarray, oldage: float) -> jnp.ndarray:

@@ -86,3 +86,36 @@ def test_checkpoint_resume_bitexact(data_file, tmp_path):
     cols3, rows3 = s3.run(checkpoint_path=ckpt, resume=True)
 
     np.testing.assert_array_equal(rows1[4:], rows3[rows3[:, 0] >= 4])
+
+
+def test_admixture_end_to_end(tmp_path):
+    """Admixed sample (name in two pops): coefficients update, assignments
+    flip through SPR, trace gains an A column, state stays consistent."""
+    from tests.test_control import SAMPLE_CTL
+    from gphocs_tpu.config import parse_control_text
+    from gphocs_tpu.model import build_poptree
+    from gphocs_tpu.io.simulate import simulate_seq_file
+
+    ctl = SAMPLE_CTL.replace(
+        "GENERAL-INFO-END", "admixture TRUE\nfinetune-admix 0.05\nGENERAL-INFO-END"
+    ).replace("samples\t\ttwo d", "samples\t\ttwo d one d")
+    cfg = parse_control_text(ctl)
+    assert cfg.admixed == [("one", 0, 1, "d")]
+    # data simulated from the non-admixed model is fine for a smoke test
+    base_cfg = parse_control_text(SAMPLE_CTL)
+    tree0 = build_poptree(base_cfg)
+    path = str(tmp_path / "seqs.txt")
+    simulate_seq_file(base_cfg, tree0, path, num_loci=10, seq_len=100, seed=3)
+
+    cfg.mcmc.random_seed = 5
+    cfg.mcmc.mcmc_iterations = 10
+    s = Sampler(cfg, seq_path=path)
+    cols, rows = s.run()
+    assert any(c.startswith("A0[") or c.startswith("A1[") for c in cols), cols
+    # coefficient stays in (0,1)
+    acol = [i for i, c in enumerate(cols) if c.startswith("A")][0]
+    assert ((rows[:, acol] > 0) & (rows[:, acol] < 1)).all()
+    errs = check_gen_state(s.gen, s.params, s.tree)
+    assert not errs, "\n".join(errs[:5])
+    errs = check_likelihoods(s)
+    assert not errs, "\n".join(errs)
