@@ -31,6 +31,8 @@ from gphocs_tpu.kernels.common import (
     last_mig_below,
     mh_accept,
 )
+from gphocs_tpu.kernels.common import band_windows
+from gphocs_tpu.ops.coalstats import node_age_move_delta
 from gphocs_tpu.ops.pruning import data_log_likelihood
 from gphocs_tpu.state import GenState, Params, SeqData
 from gphocs_tpu.utils import reflect
@@ -49,6 +51,7 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
     S = gen.num_samples
     N = gen.num_nodes
     loci_mask = jnp.ones((L,), bool)
+    bstart, bend = band_windows(ctx, params.tau)
 
     def body(carry, inode):
         gen, rng_state, lnld, lnp, acc = carry
@@ -80,8 +83,10 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
 
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))
         lnld_prop = data_log_likelihood(gen_prop, seq)
-        lnp_prop = gen_log_prior(gen_prop, params, ctx)
-        lnacc = (lnp_prop - lnp) + (lnld_prop - lnld)
+        dlnp = node_age_move_delta(gen, params, ctx, node_vec, tnew,
+                                   bstart, bend)
+        lnp_prop = lnp + dlnp
+        lnacc = dlnp + (lnld_prop - lnld)
 
         accept, rng_state = mh_accept(rng_state, lnacc, ~tiny)
         take = accept  # tiny moves keep the old age but count as accepted

@@ -212,3 +212,51 @@ def lineage_presence_integral(gen: GenState, band_source: jnp.ndarray,
     lo = jnp.maximum(jnp.maximum(segs.start, w0[:, None]), tau[pop][:, None])
     hi = jnp.minimum(jnp.minimum(segs.end, w1[:, None]), pop_end[pop][:, None])
     return jnp.sum(jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=1)
+
+
+def node_age_move_delta(gen: GenState, params: Params, ctx,
+                        inode: jnp.ndarray, tnew: jnp.ndarray,
+                        band_start, band_end) -> jnp.ndarray:
+    """Genealogy-log-prior delta for moving coal node `inode` (one per
+    locus, same index) from its current age to tnew within its population.
+
+    Closed form (the tensor twin of the reference's event-chain delta walk,
+    computeCoalStatsDelta / computeMigStatsDelta / computeDeltaLnLd,
+    src/patch.c:1838-1530):
+
+      raising t -> t' adds one lineage on W = (t, t'):
+          dcoal = 2 * int_W n dt,        dmig_b = |W ^ band_b|
+      lowering removes one:
+          dcoal = -2 * int_W (n - 1) dt, dmig_b = -|W ^ band_b|
+      dlnP = -dcoal / theta_p - sum_b m_b dmig_b     (counts unchanged)
+
+    where n is the lineage count of the *current* state in pop p and all
+    affected bands target p.
+    """
+    L = gen.num_loci
+    ar = jnp.arange(L)
+    t = gen.age[ar, inode]
+    pop = gen.node_pop[ar, inode]
+    w0 = jnp.minimum(t, tnew)
+    w1 = jnp.maximum(t, tnew)
+    raising = tnew > t
+
+    segs = segments(gen, ctx.band_source, ctx.oldage)
+    anc = ctx.is_ancestral
+    present = segs.valid & anc[pop[:, None], segs.base_pop]
+    lo = jnp.maximum(segs.start, w0[:, None])
+    hi = jnp.minimum(segs.end, w1[:, None])
+    integral = jnp.sum(
+        jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=1)
+    wlen = w1 - w0
+    dcoal = jnp.where(raising, 2.0 * integral,
+                      -2.0 * (integral - wlen))
+    dlnp = -dcoal / params.theta[pop]
+    if ctx.band_source.shape[0] > 0:
+        ov = jnp.maximum(
+            jnp.minimum(w1[:, None], band_end[None, :])
+            - jnp.maximum(w0[:, None], band_start[None, :]), 0.0)
+        into_p = ctx.band_target[None, :] == pop[:, None]
+        dmig = jnp.where(into_p, jnp.where(raising[:, None], ov, -ov), 0.0)
+        dlnp = dlnp - jnp.sum(dmig * params.mig_rate[None, :], axis=1)
+    return dlnp

@@ -205,3 +205,70 @@ def test_pruning_all_n_is_zero(setup):
     jseq = SeqData(*[jnp.asarray(x) for x in seq])
     lnl = data_log_likelihood(jgen, jseq)
     np.testing.assert_allclose(np.array(lnl), 0.0)
+
+
+def test_node_move_delta_matches_full_recompute(setup):
+    """Incremental genealogy-prior delta for a node-age move must equal the
+    difference of full recomputations (moves restricted to the kernel's
+    bounds: inside the pop window, not crossing migration events)."""
+    import jax.numpy as jnp
+    from gphocs_tpu.kernels.common import (
+        make_context, band_windows, gen_log_prior, first_mig_above,
+        last_mig_below, pop_end)
+    from gphocs_tpu.ops.coalstats import node_age_move_delta
+
+    # a *consistent* migration state is required (the delta formula relies
+    # on the coalescing lineages actually living in the node's pop), so run
+    # a few real sampler iterations to populate migration events
+    import tempfile, os
+    from gphocs_tpu.io.simulate import simulate_seq_file
+    from gphocs_tpu.sampler.driver import Sampler
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 99
+    cfg.mcmc.mcmc_iterations = 30
+    cfg.mcmc.start_mig = 0
+    # boost the migration-rate prior so events actually appear
+    cfg.bands[0].mig_rate_alpha = 2.0
+    tree = build_poptree(cfg)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "seqs.txt")
+        simulate_seq_file(cfg, tree, path, num_loci=12, seq_len=100, seed=9)
+        smp = Sampler(cfg, seq_path=path)
+        smp.run()
+    assert int(np.sum(np.asarray(smp.gen.mig_branch) >= 0)) > 0
+    jgen = smp.gen
+    jparams = smp.params
+    ctx = smp.ctx
+    bs, be = band_windows(ctx, jparams.tau)
+    pe = pop_end(ctx, jparams.tau)
+    S = tree.num_samples
+    r = np.random.RandomState(11)
+    L_ = jgen.num_loci
+    ar = np.arange(L_)
+    for trial in range(4):
+        inode_val = S + trial * 2
+        iv = jnp.full((L_,), inode_val, jnp.int32)
+        t = jgen.age[:, inode_val]
+        pop = jgen.node_pop[:, inode_val]
+        tb0 = jparams.tau[pop]
+        tb1 = jnp.where(pop == ctx.root_pop, ctx.oldage,
+                        jparams.tau[ctx.father_pop[pop]])
+        fm = first_mig_above(jgen, iv, jnp.full((L_,), -np.inf))
+        fa = jgen.father[:, inode_val]
+        fa_age = jgen.age[ar, jnp.where(fa < 0, 0, fa)]
+        tb1 = jnp.minimum(tb1, jnp.where(jnp.isfinite(fm), fm,
+                                         jnp.where(fa < 0, np.inf, fa_age)))
+        for son in (jgen.lson[:, inode_val], jgen.rson[:, inode_val]):
+            lm = last_mig_below(jgen, son, jnp.full((L_,), np.inf))
+            sa = jgen.age[ar, son]
+            tb0 = jnp.maximum(tb0, jnp.where(jnp.isfinite(lm), lm, sa))
+        u = jnp.asarray(r.rand(L_))
+        tnew = tb0 + (tb1 - tb0) * (0.02 + 0.96 * u)
+        dlnp = node_age_move_delta(jgen, jparams, ctx, iv, tnew, bs, be)
+        lnp0 = gen_log_prior(jgen, jparams, ctx)
+        gen2 = jgen._replace(age=jgen.age.at[:, inode_val].set(tnew))
+        lnp1 = gen_log_prior(gen2, jparams, ctx)
+        np.testing.assert_allclose(np.asarray(dlnp),
+                                   np.asarray(lnp1 - lnp0),
+                                   rtol=1e-8, atol=1e-10)
