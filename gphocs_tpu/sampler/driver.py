@@ -294,6 +294,14 @@ class Sampler:
         if tf:
             tf.write(header + "\n")
 
+        cs_file = None
+        if cfg.mcmc.coal_stats_file != "NONE":
+            from gphocs_tpu.tools.coalstats_out import coal_stats_header
+
+            nparts = max(cfg.mcmc.num_pop_partitions, 1)
+            cs_file = open(cfg.mcmc.coal_stats_file, "w")
+            cs_file.write(coal_stats_header(tree, nparts) + "\n")
+
         counts = AcceptCounts()
         counts.reset(P)
         log_count = 0
@@ -318,6 +326,11 @@ class Sampler:
                 boundaries.append(cfg.mcmc.start_mig + 1)
             end = max(min(boundaries), iteration + 1)
             n_iters = end - iteration
+            # quantize chunk lengths to limit recompilation: every distinct
+            # n_iters compiles its own scan executable
+            if n_iters > 64:
+                n_iters = 64 * (n_iters // 64)
+                end = iteration + n_iters
             st, tr = self.step_chunk(
                 n_iters, do_migrate=iteration > cfg.mcmc.start_mig)
 
@@ -380,6 +393,12 @@ class Sampler:
                 log_count = 0
                 mig_nodes_accum = 0
 
+            if cs_file is not None:
+                from gphocs_tpu.tools.coalstats_out import write_coal_stats_row
+
+                write_coal_stats_row(cs_file, iteration - 1, self.gen,
+                                     self.params, self.ctx, tree, nparts)
+
             if (checkpoint_path and checkpoint_every > 0
                     and iteration % checkpoint_every == 0):
                 from gphocs_tpu.checkpoint import save_checkpoint
@@ -390,6 +409,8 @@ class Sampler:
             from gphocs_tpu.checkpoint import save_checkpoint
 
             save_checkpoint(self, checkpoint_path, iteration)
+        if cs_file is not None:
+            cs_file.close()
         if tf:
             tf.close()
         cols = header.split("\t")

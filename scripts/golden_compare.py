@@ -116,8 +116,16 @@ def main():
     cfg = parse_control_text(ctl_text0)
     tree = build_poptree(cfg)
     nl = int(os.environ.get("GC_LOCI", "100"))
+    # simulate from a higher-diversity parameter set so the data actually
+    # identifies the parameters (the priors stay as configured)
+    from gphocs_tpu.rng_host import HostRng
+    from gphocs_tpu.sampler.init import sample_pop_parameters
+    _rng = HostRng(nl + 1, 77)
+    tp = sample_pop_parameters(tree, _rng)
+    boost = float(os.environ.get("GC_BOOST", "8"))
+    tp = tp._replace(theta=tp.theta * boost, tau=tp.tau * boost)
     true_params = simulate_seq_file(cfg, tree, seq, num_loci=nl,
-                                    seq_len=1000, seed=77)
+                                    seq_len=1000, seed=77, params=tp)
     print("true theta:", np.round(true_params.theta, 6))
     print("true tau:  ", np.round(true_params.tau, 6))
 

@@ -59,3 +59,49 @@ def test_controlgen_roundtrip():
     assert cfg2.num_samples == 5
     assert len(cfg2.bands) == 1 and cfg2.bands[0].source == "A"
     assert cfg2.mcmc.mcmc_iterations == 5000
+
+
+def test_coal_stats_diagnostics():
+    """Flat stats equal the summed per-pop stats; LCA ages match a direct
+    recursive computation."""
+    import jax.numpy as jnp
+    from gphocs_tpu.model import build_poptree
+    from gphocs_tpu.rng_host import HostRng
+    from gphocs_tpu.sampler.init import init_gen_state, sample_pop_parameters
+    from gphocs_tpu.state import GenState
+    from gphocs_tpu.kernels.common import make_context, full_stats
+    from gphocs_tpu.tools.coalstats_out import flat_stats, pairwise_lca_ages
+    from gphocs_tpu.state import Params
+    from tests.test_control import SAMPLE_CTL
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    tree = build_poptree(cfg)
+    rng = HostRng(9, 31)
+    params = sample_pop_parameters(tree, rng)
+    gen = init_gen_state(tree, params, rng, 8, np.ones(8))
+    jgen = GenState(*[jnp.asarray(x) for x in gen])
+    jparams = Params(*[jnp.asarray(x) for x in params])
+    ctx = make_context(tree)
+
+    # flat coal stat >= summed per-pop stats (merging pops can only add
+    # cross-pop lineage overlap)
+    st = full_stats(jgen, jparams, ctx)
+    fl = np.asarray(flat_stats(jgen, ctx.band_source))
+    assert (fl + 1e-12 >= np.asarray(st.coal_stats).sum(axis=1)).all()
+
+    lca = np.asarray(pairwise_lca_ages(jgen))
+    fa = np.asarray(gen.father)
+    age = np.asarray(gen.age)
+    S = tree.num_samples
+    for l in range(3):
+        def ancestors(v):
+            out = [v]
+            while fa[l, out[-1]] >= 0:
+                out.append(fa[l, out[-1]])
+            return out
+        for i in range(S):
+            for j in range(i + 1, S):
+                ai = set(ancestors(i))
+                common = [v for v in ancestors(j) if v in ai]
+                expect = min(age[l, v] for v in common)
+                np.testing.assert_allclose(lca[l, i, j], expect, rtol=1e-12)
