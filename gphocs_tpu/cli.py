@@ -29,6 +29,12 @@ def main(argv=None):
     ap.add_argument("--production-rng", action="store_true",
                     help="use de-correlated per-locus RNG streams instead "
                          "of the reference-compatible identical seeding")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard loci over all visible devices "
+                         "(jax.sharding 1-D 'loci' mesh)")
+    ap.add_argument("--distributed", metavar="COORD:NPROC:PID",
+                    help="multi-host: coordinator address, process count, "
+                         "process id (jax.distributed)")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,6 +48,18 @@ def main(argv=None):
     from gphocs_tpu.config import parse_control_file
     from gphocs_tpu.sampler.driver import Sampler
 
+    if args.distributed:
+        from gphocs_tpu.parallel.mesh import init_distributed
+
+        coord, nproc, pid = args.distributed.rsplit(":", 2)
+        init_distributed(coord, int(nproc), int(pid))
+
+    mesh = None
+    if args.mesh or args.distributed:
+        from gphocs_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     cfg = parse_control_file(args.control_file, args.secondary_control)
     print(f"gphocs_tpu on {platform} "
           f"({len(jax.devices())} device(s)), "
@@ -49,7 +67,7 @@ def main(argv=None):
     t0 = time.time()
     sampler = Sampler(cfg, dtype=jnp.float64 if use_x64 else jnp.float32,
                       legacy_rng=not args.production_rng,
-                      verbose=args.verbose)
+                      verbose=args.verbose, mesh=mesh)
     print(f"{sampler.num_loci} loci, {cfg.num_samples} samples, "
           f"{cfg.num_pops} pops, {len(cfg.bands)} migration band(s); "
           f"{cfg.num_parameters()} parameters")

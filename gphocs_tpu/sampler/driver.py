@@ -90,8 +90,13 @@ class Sampler:
 
     def __init__(self, cfg: RunConfig, seq_path: Optional[str] = None,
                  num_loci: Optional[int] = None, dtype=jnp.float64,
-                 legacy_rng: bool = True, verbose: bool = False):
+                 legacy_rng: bool = True, verbose: bool = False,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'loci' axis; per-locus
+        state shards over it (loci padded to a device-count multiple with
+        inert padding loci)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -125,6 +130,32 @@ class Sampler:
                 group_nphases=np.ones((self.num_loci, 1)),
                 pattern_valid=np.zeros((self.num_loci, 1), bool),
             )
+        self.pad_loci = 0
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            rem = self.num_loci % n_dev
+            if rem:
+                self.pad_loci = n_dev - rem
+                pad = self.pad_loci
+                self.seq = SeqData(
+                    leaf_base=np.concatenate(
+                        [self.seq.leaf_base,
+                         np.repeat(self.seq.leaf_base[:1], pad, 0)]),
+                    group_id=np.concatenate(
+                        [self.seq.group_id,
+                         np.repeat(self.seq.group_id[:1], pad, 0)]),
+                    group_count=np.concatenate(
+                        [self.seq.group_count,
+                         np.zeros((pad,) + self.seq.group_count.shape[1:])]),
+                    group_nphases=np.concatenate(
+                        [self.seq.group_nphases,
+                         np.ones((pad,) + self.seq.group_nphases.shape[1:])]),
+                    pattern_valid=np.concatenate(
+                        [self.seq.pattern_valid,
+                         np.zeros((pad,) + self.seq.pattern_valid.shape[1:],
+                                  bool)]),
+                )
+                self.num_loci += pad
         self.seq = SeqData(*[jnp.asarray(x) for x in self.seq])
         self.host_rng = HostRng(self.num_loci + 1, seed, legacy=legacy_rng)
         self.trace_rows: List[str] = []
@@ -153,6 +184,20 @@ class Sampler:
                                z=jnp.asarray(z[:-1]))
         self.grng = R.RngState(x=jnp.asarray(x[-1:]), y=jnp.asarray(y[-1:]),
                                z=jnp.asarray(z[-1:]))
+        if self.pad_loci:
+            self.gen = self.gen._replace(valid=self.gen.valid.at[
+                self.num_loci - self.pad_loci:].set(False))
+        if self.mesh is not None:
+            from gphocs_tpu.parallel.mesh import (
+                loci_sharding, replicated, shard_sampler_state)
+
+            (self.gen, self.seq, self.lrng, _ld, _lp, self.params,
+             self.grng) = shard_sampler_state(
+                self.mesh, self.gen, self.seq, self.lrng,
+                jnp.zeros((self.num_loci,), self.dtype),
+                jnp.zeros((self.num_loci,), self.dtype),
+                self.params, self.grng)
+            self.ctx = jax.device_put(self.ctx, replicated(self.mesh))
         self.lnld = data_log_likelihood(self.gen, self.seq)
         self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
 

@@ -119,3 +119,30 @@ def test_admixture_end_to_end(tmp_path):
     assert not errs, "\n".join(errs[:5])
     errs = check_likelihoods(s)
     assert not errs, "\n".join(errs)
+
+
+from tests.test_control import SAMPLE_CTL  # noqa: E402
+from gphocs_tpu.config import parse_control_text  # noqa: E402
+
+
+def test_mesh_sharded_run_matches_single_device(data_file):
+    """A mesh-sharded run over 8 CPU devices must produce finite traces and
+    consistent state; with exact locus multiples it must equal the
+    unsharded run bit-for-bit (same program, different partitioning)."""
+    import jax
+    from gphocs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    s1 = _make_sampler(data_file, mcmc_iterations=6)
+    cols1, rows1 = s1.run()
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 99
+    cfg.mcmc.mcmc_iterations = 6
+    s2 = Sampler(cfg, seq_path=data_file, mesh=mesh)
+    cols2, rows2 = s2.run()
+    assert np.isfinite(rows2).all()
+    # 12 loci over 4 devices divides evenly: identical math
+    np.testing.assert_allclose(rows1, rows2, rtol=1e-9)
+    errs = check_gen_state(s2.gen, s2.params, s2.tree)
+    assert not errs, "\n".join(errs[:5])
