@@ -158,27 +158,34 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
     def _traj_and_alive(mids):
         """[L,K,N] (alive, traj): branch liveness and trajectory pop at
-        each candidate time."""
+        each candidate time.  The per-branch "source pop of the last
+        migration below t" is built by scattering over the M migration
+        slots (10 cheap [L,K] updates) instead of materializing the
+        [L,K,M,N] comparison tensor."""
+        Kk = mids.shape[1]
         alive = ((gen.age[:, None, :] <= mids[:, :, None])
                  & (mids[:, :, None] < top_all[:, None, :]))     # [L,K,N]
         alive = alive & (jnp.arange(N)[None, None, :]
                          != node[:, None, None])
+        traj = jnp.broadcast_to(gen.node_pop[:, None, :],
+                                (L, Kk, N))
         if Bn > 0:
-            below = (act[:, None, :] & (gen.mig_age[:, None, :]
-                                        < mids[:, :, None]))     # [L,K,M]
-            onb = (gen.mig_branch[:, None, :, None] ==
-                   jnp.arange(N)[None, None, None, :])           # [L,1,M,N]
-            keyed = jnp.where(onb & below[:, :, :, None],
-                              gen.mig_age[:, None, :, None], -jnp.inf)
-            best = jnp.argmax(keyed, axis=2)                     # [L,K,N]
-            has = jnp.any(keyed > -jnp.inf, axis=2)
-            band_at = jnp.take_along_axis(
-                gen.mig_band[:, None, :].repeat(mids.shape[1], 1), best,
-                axis=2)
-            traj = jnp.where(has, ctx.band_source[band_at],
-                             gen.node_pop[:, None, :])
-        else:
-            traj = jnp.broadcast_to(gen.node_pop[:, None, :], alive.shape)
+            li = ar[:, None]
+            ki = jnp.arange(Kk)[None, :]
+            best_age = jnp.full((L, Kk, N), -jnp.inf, dt)
+            for m in range(M):
+                b = jnp.where(gen.mig_branch[:, m] >= 0,
+                              gen.mig_branch[:, m], 0)
+                a = gen.mig_age[:, m]
+                src = ctx.band_source[gen.mig_band[:, m]]
+                act_m = gen.mig_branch[:, m] >= 0
+                cur = best_age[li, ki, b[:, None]]               # [L,K]
+                upd = (act_m[:, None] & (a[:, None] < mids)
+                       & (a[:, None] > cur))
+                best_age = best_age.at[li, ki, b[:, None]].set(
+                    jnp.where(upd, a[:, None], cur))
+                traj = traj.at[li, ki, b[:, None]].set(
+                    jnp.where(upd, src[:, None], traj[li, ki, b[:, None]]))
         return alive, traj
 
     # ---- static per-node-step tables over the segment grid ----
@@ -192,10 +199,12 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1) + b_sorted)
     alive0, traj0 = _traj_and_alive(mids0)
     # n_all[l,k,p] = number of remaining branches whose trajectory pop is
-    # under p at segment k: one-hot(traj) summed then lifted by ancestry
-    onehot_traj = (traj0[:, :, :, None] ==
-                   jnp.arange(P)[None, None, None, :]) & alive0[:, :, :, None]
-    n_by_base = jnp.sum(onehot_traj, axis=2).astype(dt)          # [L,K,P]
+    # under p at segment k: scatter-add over branches, lift by ancestry
+    K0 = mids0.shape[1]
+    n_by_base = jnp.zeros((L, K0, P), dt).at[
+        jnp.arange(L)[:, None, None],
+        jnp.arange(K0)[None, :, None],
+        traj0].add(alive0.astype(dt))                            # [L,K,P]
     n_all = jnp.einsum("lkq,pq->lkp", n_by_base,
                        ctx.is_ancestral.astype(dt))              # [L,K,P]
     inwin0 = ((params.tau[None, None, :] <= mids0[:, :, None])
