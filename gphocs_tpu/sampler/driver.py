@@ -164,8 +164,17 @@ class Sampler:
     def initialize(self):
         cfg = self.cfg
         params = sample_pop_parameters(self.tree, self.host_rng)
+        fixed = None
+        if cfg.mcmc.mut_rate_mode == 2:
+            # whitespace-separated per-locus rates, normalized to mean 1
+            # (reference readRateFile, src/GPhoCS.c:486-560)
+            fixed = np.loadtxt(cfg.mcmc.rate_file).ravel()[:self.num_loci]
+            if len(fixed) < self.num_loci:
+                raise ValueError(
+                    f"rate file has {len(fixed)} rates, "
+                    f"need {self.num_loci}")
         rates, self.rate_var = sample_locus_rates(
-            self.num_loci, cfg.mcmc.mut_rate_mode, self.host_rng)
+            self.num_loci, cfg.mcmc.mut_rate_mode, self.host_rng, fixed)
         gen_np = init_gen_state(self.tree, params, self.host_rng,
                                 self.num_loci, rates)
         self.gen = GenState(*[jnp.asarray(x) for x in gen_np])

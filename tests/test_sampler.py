@@ -146,3 +146,31 @@ def test_mesh_sharded_run_matches_single_device(data_file):
     np.testing.assert_allclose(rows1, rows2, rtol=1e-9)
     errs = check_gen_state(s2.gen, s2.params, s2.tree)
     assert not errs, "\n".join(errs[:5])
+
+
+def test_var_locus_rates_end_to_end(data_file):
+    """VAR mutation-rate mode: rates update, preserve mean 1, trace gains
+    the Variance-Mut column."""
+    s = _make_sampler(data_file, mcmc_iterations=8, mut_rate_mode=1,
+                      var_rates_alpha=1.0)
+    s.cfg.mcmc.finetunes.locus_rate = 0.3
+    cols, rows = s.run()
+    assert "Variance-Mut" in cols
+    rates = np.asarray(s.gen.mut_rate)
+    np.testing.assert_allclose(rates.mean(), 1.0, rtol=1e-9)
+    assert rates.std() > 0
+    errs = check_likelihoods(s)
+    assert not errs, "\n".join(errs)
+
+
+def test_fixed_locus_rates(data_file, tmp_path):
+    rfile = tmp_path / "rates.txt"
+    r = np.random.RandomState(0).uniform(0.5, 1.5, 12)
+    rfile.write_text(" ".join(f"{x:.6f}" for x in r))
+    s = _make_sampler(data_file, mcmc_iterations=3, mut_rate_mode=2,
+                      rate_file=str(rfile))
+    s.run()
+    rates = np.asarray(s.gen.mut_rate)
+    np.testing.assert_allclose(rates.mean(), 1.0, rtol=1e-9)
+    r6 = np.loadtxt(str(rfile))  # written at 6 decimals
+    np.testing.assert_allclose(rates, r6 / r6.mean(), rtol=1e-9)
