@@ -29,7 +29,7 @@ def update_admix_coeffs(gen: GenState, params: Params, rng_state,
         c_old = params.admix_coeff[a]
         z, rng_state = R.general_draw_2normal8(rng_state)
         c_new = reflect(c_old + finetune * z, jnp.zeros((), lnp.dtype),
-                        jnp.ones((), lnp.dtype))
+                        jnp.ones((), lnp.dtype)).astype(lnp.dtype)
         slot = ctx.admix_slot[a]
         in_second = ((gen.node_pop[:, slot] == ctx.admix_pops[a, 1])
                      & gen.valid)

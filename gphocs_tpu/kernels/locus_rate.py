@@ -53,7 +53,7 @@ def update_locus_rates(gen: GenState, seq: SeqData, rng_state, finetune,
         onehot = jnp.arange(L) == g
         z, rng_state = R.rnd2normal8(rng_state, onehot & active)
         rnew = reflect(rold + finetune * z[g], jnp.zeros((), lnld.dtype),
-                       rold + rref)
+                       rold + rref).astype(lnld.dtype)
         rrefnew = rref + rold - rnew
 
         idx = jnp.stack([g, jnp.asarray(ref_locus, g.dtype)])

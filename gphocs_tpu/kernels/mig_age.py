@@ -55,7 +55,7 @@ def update_mig_ages(gen: GenState, params: Params, rng_state, ctx: Context,
         tb1 = jnp.minimum(tb1, jnp.where(jnp.isfinite(fm), fm, fa_age))
 
         z, rng_state = R.rnd2normal8(rng_state, active)
-        tnew = reflect(t + finetune * z, tb0, tb1)
+        tnew = reflect(t + finetune * z, tb0, tb1).astype(t.dtype)
         tiny = jnp.abs(tnew - t) < 1e-15
 
         gen_prop = gen._replace(mig_age=gen.mig_age.at[:, m].set(

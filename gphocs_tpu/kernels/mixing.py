@@ -30,7 +30,7 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
                   num_cur_pops: int):
     """Returns (gen, params, rng_state, lnld, lnp, accepted)."""
     z, rng_state = R.general_draw_2normal8(rng_state)
-    lnc = finetune * z
+    lnc = (finetune * z).astype(lnld.dtype)
     c = jnp.exp(lnc)
 
     ncoal_tot = jnp.sum(stats.num_coals).astype(lnld.dtype)

@@ -78,7 +78,7 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
             tb0 = jnp.maximum(tb0, jnp.where(jnp.isfinite(lm), lm, son_age))
 
         z, rng_state = R.rnd2normal8(rng_state, loci_mask)
-        tnew = reflect(t + finetune * z, tb0, tb1)
+        tnew = reflect(t + finetune * z, tb0, tb1).astype(t.dtype)
         tiny = jnp.abs(tnew - t) < 1e-15
 
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))

@@ -39,7 +39,7 @@ def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
         params, rng_state, lnp, acc = carry
         theta_old = params.theta[pop]
         z, rng_state = R.general_draw_2normal8(rng_state)
-        lnc = finetune * z
+        lnc = (finetune * z).astype(lnp.dtype)
         theta_new = theta_old * jnp.exp(lnc)
         lnacc = (lnc + lnc * (ctx.theta_alpha[pop] - 1.0)
                  - (theta_new - theta_old) * ctx.theta_beta[pop])
@@ -75,7 +75,7 @@ def update_mig_rates(gen: GenState, params: Params, rng_state, ctx: Context,
         params, rng_state, lnp, acc = carry
         old = params.mig_rate[band]
         z, rng_state = R.general_draw_2normal8(rng_state)
-        lnc = finetune * z
+        lnc = (finetune * z).astype(lnp.dtype)
         new = old * jnp.exp(lnc)
         skip = new < MIN_MIG_RATE  # skipped before prior evaluation (:3159)
         lnacc = (lnc + lnc * (ctx.mig_alpha[band] - 1.0)

@@ -156,37 +156,39 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
     max_steps = M + 3
 
+    # per-slot static data for the einsum-based count tables:
+    # prev_pop[m] = trajectory pop just below migration slot m (the source
+    # of the closest lower migration on the same branch, or the branch's
+    # node pop); win[m](t) = age_m <= t < next-event-above on the branch
+    if Bn > 0:
+        # window of slot m: [age_m, next-mig-above-on-branch or branch top);
+        # windows are disjoint per branch, so at any time exactly one slot's
+        # source pop replaces the branch's node pop
+        big = jnp.asarray(jnp.inf, dt)
+        mig_age_act = jnp.where(act, gen.mig_age, big)
+        same = (act[:, :, None] & act[:, None, :]
+                & (gen.mig_branch[:, :, None] == gen.mig_branch[:, None, :]))
+        idxm = jnp.arange(M)
+        above_rel = same & (
+            (mig_age_act[:, None, :] > mig_age_act[:, :, None])
+            | ((mig_age_act[:, None, :] == mig_age_act[:, :, None])
+               & (idxm[None, None, :] > idxm[None, :, None])))
+        next_age = jnp.min(jnp.where(above_rel, mig_age_act[:, None, :],
+                                     big), axis=2)
+        branch_safe = jnp.where(act, gen.mig_branch, 0)
+        branch_top_m = jnp.take_along_axis(top_all, branch_safe, axis=1)
+        win_hi = jnp.minimum(next_age, branch_top_m)             # [L, M]
+        src_pop_m = ctx.band_source[jnp.where(act, gen.mig_band, 0)]
+        branch_pop_m = jnp.take_along_axis(gen.node_pop, branch_safe, axis=1)
+
     def _traj_and_alive(mids):
-        """[L,K,N] (alive, traj): branch liveness and trajectory pop at
-        each candidate time.  The per-branch "source pop of the last
-        migration below t" is built by scattering over the M migration
-        slots (10 cheap [L,K] updates) instead of materializing the
-        [L,K,M,N] comparison tensor."""
-        Kk = mids.shape[1]
+        """[L,K,N] branch liveness at each candidate time (trajectory pops
+        enter through the einsum correction terms, not materialized)."""
         alive = ((gen.age[:, None, :] <= mids[:, :, None])
                  & (mids[:, :, None] < top_all[:, None, :]))     # [L,K,N]
         alive = alive & (jnp.arange(N)[None, None, :]
                          != node[:, None, None])
-        traj = jnp.broadcast_to(gen.node_pop[:, None, :],
-                                (L, Kk, N))
-        if Bn > 0:
-            li = ar[:, None]
-            ki = jnp.arange(Kk)[None, :]
-            best_age = jnp.full((L, Kk, N), -jnp.inf, dt)
-            for m in range(M):
-                b = jnp.where(gen.mig_branch[:, m] >= 0,
-                              gen.mig_branch[:, m], 0)
-                a = gen.mig_age[:, m]
-                src = ctx.band_source[gen.mig_band[:, m]]
-                act_m = gen.mig_branch[:, m] >= 0
-                cur = best_age[li, ki, b[:, None]]               # [L,K]
-                upd = (act_m[:, None] & (a[:, None] < mids)
-                       & (a[:, None] > cur))
-                best_age = best_age.at[li, ki, b[:, None]].set(
-                    jnp.where(upd, a[:, None], cur))
-                traj = traj.at[li, ki, b[:, None]].set(
-                    jnp.where(upd, src[:, None], traj[li, ki, b[:, None]]))
-        return alive, traj
+        return alive
 
     # ---- static per-node-step tables over the segment grid ----
     # The candidate boundary set is state-independent during the walk, so
@@ -197,14 +199,28 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         axis=1), axis=1)                                         # [L, K]
     mids0 = 0.5 * (jnp.concatenate(
         [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1) + b_sorted)
-    alive0, traj0 = _traj_and_alive(mids0)
-    # n_all[l,k,p] = number of remaining branches whose trajectory pop is
-    # under p at segment k: scatter-add over branches, lift by ancestry
+    alive0 = _traj_and_alive(mids0)
+    # n_by_base[l,k,q] = remaining branches whose trajectory pop is q at
+    # segment k.  Base term: node pops (one-hot matmul, MXU); correction:
+    # each active migration slot m retargets its branch's contribution from
+    # prev_pop[m] to the band source while mid is in [age_m, win_hi_m).
     K0 = mids0.shape[1]
-    n_by_base = jnp.zeros((L, K0, P), dt).at[
-        jnp.arange(L)[:, None, None],
-        jnp.arange(K0)[None, :, None],
-        traj0].add(alive0.astype(dt))                            # [L,K,P]
+    np_onehot = (gen.node_pop[:, :, None] ==
+                 jnp.arange(P)[None, None, :]).astype(dt)        # [L,N,P]
+    n_by_base = jnp.einsum("lkn,lnp->lkp", alive0.astype(dt), np_onehot)
+    if Bn > 0:
+        in_win = (act[:, None, :]
+                  & (gen.mig_age[:, None, :] <= mids0[:, :, None])
+                  & (mids0[:, :, None] < win_hi[:, None, :]))    # [L,K,M]
+        branch_alive = jnp.take_along_axis(
+            alive0, branch_safe[:, None, :].repeat(K0, 1), axis=2)
+        w = (in_win & branch_alive).astype(dt)                   # [L,K,M]
+        src_onehot = (src_pop_m[:, :, None] ==
+                      jnp.arange(P)[None, None, :]).astype(dt)   # [L,M,P]
+        bp_onehot = (branch_pop_m[:, :, None] ==
+                     jnp.arange(P)[None, None, :]).astype(dt)
+        n_by_base = n_by_base + jnp.einsum(
+            "lkm,lmp->lkp", w, src_onehot - bp_onehot)
     n_all = jnp.einsum("lkq,pq->lkp", n_by_base,
                        ctx.is_ancestral.astype(dt))              # [L,K,P]
     inwin0 = ((params.tau[None, None, :] <= mids0[:, :, None])

@@ -284,7 +284,8 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                                                          -jnp.inf)))
 
         z, rng_state = R.general_draw_2normal8(rng_state)
-        taunew = reflect(tauold + finetunes_taus[pop] * z, taub0, taub1)
+        taunew = reflect(tauold + finetunes_taus[pop] * z,
+                         taub0, taub1).astype(lnld.dtype)
 
         (gen_p, params_p, lnld_p, lnp_p, ntj0, ntj1, conflict, lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, False,
@@ -322,7 +323,8 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
         taub0 = jnp.zeros((), lnld.dtype)
         taub1 = params.tau[ctx.father_pop[pop]]
         z, rng_state = R.general_draw_2normal8(rng_state)
-        taunew = reflect(tauold + finetunes_taus[pop] * z, taub0, taub1)
+        taunew = reflect(tauold + finetunes_taus[pop] * z,
+                         taub0, taub1).astype(lnld.dtype)
 
         (gen_p, params_p, lnld_p, lnp_p, ntj0, ntj1, conflict, lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, True,

@@ -42,6 +42,12 @@ class Segments(NamedTuple):
     valid: jnp.ndarray     # [L, NSEG] bool
 
 
+# Sufficient-statistics algorithm switch: the argsorted sweep is
+# asymptotically better (O(NSEG log NSEG)) but TPU sorts are slow; the
+# pairwise-overlap reduction wins on the hardware at practical sizes.
+SWEEP_STATS = False
+
+
 class CoalStats(NamedTuple):
     coal_stats: jnp.ndarray  # [L, P] sum n(n-1) dt per pop
     mig_stats: jnp.ndarray   # [L, B] sum n dt per band window
@@ -150,7 +156,19 @@ def sufficient_stats(gen: GenState, params: Params,
     present = (segs.valid[:, None, :]
                & anc[:, segs.base_pop].transpose(1, 0, 2)
                & (hi > lo))
-    coal, _ = _sweep_integrals(lo, hi, present)
+    if SWEEP_STATS:
+        coal, _ = _sweep_integrals(lo, hi, present)
+    else:
+        # pairwise-overlap form: O(NSEG^2) flops but sort-free — on TPU the
+        # elementwise/reduce pipeline beats the bitonic sort convincingly
+        lo_m = jnp.where(present, lo, 0.0)
+        hi_m = jnp.where(present, hi, 0.0)
+        pair = jnp.maximum(
+            jnp.minimum(hi_m[:, :, :, None], hi_m[:, :, None, :])
+            - jnp.maximum(lo_m[:, :, :, None], lo_m[:, :, None, :]), 0.0)
+        pair = pair * (present[:, :, :, None] & present[:, :, None, :])
+        length = jnp.maximum(hi_m - lo_m, 0.0)
+        coal = jnp.sum(pair, axis=(2, 3)) - jnp.sum(length, axis=2)
 
     # migration stats: lineage-time of the band's target pop inside the window
     B = band_source.shape[0]
@@ -160,7 +178,8 @@ def sufficient_stats(gen: GenState, params: Params,
         hi_t = jnp.minimum(hi[:, band_target, :],
                            band_end[None, :, None])
         pres_t = present[:, band_target, :] & (hi_t > lo_t)
-        _, mig = _sweep_integrals(lo_t, hi_t, pres_t)
+        mig = jnp.sum(
+            jnp.where(pres_t, jnp.maximum(hi_t - lo_t, 0.0), 0.0), axis=2)
         nmig = jnp.sum(
             ((gen.mig_branch >= 0)[:, None, :]
              & (gen.mig_band[:, None, :] == jnp.arange(B)[None, :, None])),
