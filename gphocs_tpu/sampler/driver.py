@@ -38,7 +38,8 @@ from gphocs_tpu.sampler.init import (
     sample_locus_rates,
     sample_pop_parameters,
 )
-from gphocs_tpu.sampler.step import Finetunes, mcmc_chunk, mcmc_iteration
+from gphocs_tpu.sampler.step import (Finetunes, mcmc_chunk,
+    mcmc_chunk_chains, mcmc_iteration)
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -91,12 +92,14 @@ class Sampler:
     def __init__(self, cfg: RunConfig, seq_path: Optional[str] = None,
                  num_loci: Optional[int] = None, dtype=jnp.float64,
                  legacy_rng: bool = True, verbose: bool = False,
-                 mesh=None):
+                 mesh=None, chains: int = 1):
         """mesh: optional jax.sharding.Mesh with a 'loci' axis; per-locus
         state shards over it (loci padded to a device-count multiple with
-        inert padding loci)."""
+        inert padding loci).  chains > 1 runs that many independent chains
+        vmapped over a leading axis (shared data; per-chain params/RNG)."""
         self.cfg = cfg
         self.mesh = mesh
+        self.chains = chains
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -162,6 +165,8 @@ class Sampler:
 
     # -- initialization (reference initializeMCMC, src/GPhoCS.c:1122) --
     def initialize(self):
+        if self.chains > 1:
+            return self._initialize_chains()
         cfg = self.cfg
         params = sample_pop_parameters(self.tree, self.host_rng)
         fixed = None
@@ -232,6 +237,30 @@ class Sampler:
         ]
         self._update_ft_device()
 
+    def _initialize_chains(self):
+        """Stack `chains` independent initializations along a leading axis."""
+        import jax
+
+        cfg = self.cfg
+        states = []
+        base_seed = self.seed
+        self.rate_var = 0.0
+        for c in range(self.chains):
+            self.host_rng = HostRng(self.num_loci + 1,
+                                    base_seed + 7919 * c,
+                                    legacy=False)
+            self.chains, saved = 1, self.chains
+            try:
+                self.initialize()
+            finally:
+                self.chains = saved
+            states.append((self.gen, self.params, self.lrng, self.grng,
+                           self.lnld, self.lnp))
+        stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
+            lambda *a: jnp.stack(a), *xs)
+        (self.gen, self.params, self.lrng, self.grng, self.lnld,
+         self.lnp) = (stack([st[i] for st in states]) for i in range(6))
+
     def _update_ft_device(self):
         self.ft = Finetunes(
             coal_time=jnp.asarray(self.ft_search["coal_time"].value,
@@ -252,16 +281,30 @@ class Sampler:
         """m ~ U[0.9, 1.1] * prior mean via the general stream
         (reference sampleMigRates, src/PopulationTree.c:414-433)."""
         B = self.tree.num_bands
-        rates = []
-        for b in range(B):
-            u, self.grng = R.general_draw_u(self.grng)
-            mean = self.tree.mig_alpha[b] / self.tree.mig_beta[b]
-            rates.append(mean * (0.9 + 0.2 * u))
+        means = jnp.asarray(self.tree.mig_alpha / self.tree.mig_beta,
+                            self.dtype)
+
+        def draw(grng):
+            rates = []
+            for b in range(B):
+                u, grng = R.general_draw_u(grng)
+                rates.append(means[b] * (0.9 + 0.2 * u))
+            return grng, (jnp.stack(rates).astype(self.dtype) if B
+                          else jnp.zeros((0,), self.dtype))
+
+        if self.chains > 1:
+            self.grng, rates = jax.vmap(draw)(self.grng)
+        else:
+            self.grng, rates = draw(self.grng)
         if B:
-            self.params = self.params._replace(
-                mig_rate=jnp.stack(rates).astype(self.dtype))
+            self.params = self.params._replace(mig_rate=rates)
         # refresh genealogy prior under the new rates
-        self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
+        if self.chains > 1:
+            self.lnp = jax.vmap(
+                lambda g, p: gen_log_prior(g, p, self.ctx))(
+                self.gen, self.params)
+        else:
+            self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
 
     def step(self, do_migrate: bool):
         cfg = self.cfg
@@ -287,7 +330,8 @@ class Sampler:
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
         )
-        self.rate_var += float(stats.rate_var_delta)
+        self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
+                               / max(self.chains, 1))
         return stats
 
     def step_chunk(self, n_iters: int, do_migrate: bool):
@@ -295,8 +339,9 @@ class Sampler:
         cfg = self.cfg
         sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
                                 [:self.tree.num_cur_pops])
+        chunk_fn = mcmc_chunk_chains if self.chains > 1 else mcmc_chunk
         (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
-         stats, trace) = mcmc_chunk(
+         stats, trace) = chunk_fn(
             self.gen, self.params, self.seq, self.lrng, self.grng,
             self.lnld, self.lnp, self.ft, ctx=self.ctx, n_iters=n_iters,
             genetree_samples=cfg.mcmc.genetree_samples,
@@ -314,7 +359,8 @@ class Sampler:
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
         )
-        self.rate_var += float(stats.rate_var_delta)
+        self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
+                               / max(self.chains, 1))
         return stats, trace
 
     def run(self, trace_path: Optional[str] = None,
@@ -356,6 +402,7 @@ class Sampler:
             cs_file = open(cfg.mcmc.coal_stats_file, "w")
             cs_file.write(coal_stats_header(tree, nparts) + "\n")
 
+        self._chain_traces = []
         counts = AcceptCounts()
         counts.reset(P)
         log_count = 0
@@ -387,6 +434,11 @@ class Sampler:
                 end = iteration + n_iters
             st, tr = self.step_chunk(
                 n_iters, do_migrate=iteration > cfg.mcmc.start_mig)
+            if self.chains > 1:
+                st = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), st)
+                self._chain_traces.append(
+                    jax.tree_util.tree_map(np.asarray, tr))
+                tr = jax.tree_util.tree_map(lambda a: a[0], tr)
 
             counts.coal_time += int(st.acc_coal_time)
             counts.mig_time += int(st.acc_mig_time)

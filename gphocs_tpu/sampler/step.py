@@ -213,3 +213,26 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         body, (gen, params, lrng, grng, lnld, lnp), None, length=n_iters)
     totals = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), stats_seq)
     return gen, params, lrng, grng, lnld, lnp, totals, trace
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "genetree_samples", "do_migrate",
+                     "do_mixing", "num_pops", "num_cur_pops",
+                     "sample_age_mask", "coal_time_on", "mig_time_on",
+                     "theta_on", "mig_rate_on", "mixing_on", "var_rates",
+                     "locus_rate_on", "var_alpha", "admix_on"))
+def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, ft, *,
+                      ctx, n_iters, **static):
+    """Multi-chain variant: every dynamic state carries a leading chains
+    axis (params/rng included); the sequence data and context are shared.
+    Chains are vmapped — on TPU they ride the same batched kernels as
+    extra batch, giving R-hat-ready parallel chains nearly for free
+    (the 'chains mesh axis' of SURVEY §2's parallelism table)."""
+
+    def one_chain(gen, params, lrng, grng, lnld, lnp):
+        return mcmc_chunk.__wrapped__(
+            gen, params, seq, lrng, grng, lnld, lnp, ft, ctx=ctx,
+            n_iters=n_iters, **static)
+
+    return jax.vmap(one_chain)(gen, params, lrng, grng, lnld, lnp)
