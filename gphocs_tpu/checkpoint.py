@@ -29,12 +29,22 @@ def save_checkpoint(sampler, path: str, iteration: int):
         arrays[f"gen_{name}"] = np.asarray(val)
     for name, val in sampler.params._asdict().items():
         arrays[f"params_{name}"] = np.asarray(val)
+    from gphocs_tpu.rng_fast import FastRngState
+
     for pfx, st in (("lrng", sampler.lrng), ("grng", sampler.grng)):
-        arrays[f"{pfx}_x"] = np.asarray(st.x)
-        arrays[f"{pfx}_y"] = np.asarray(st.y)
-        arrays[f"{pfx}_z"] = np.asarray(st.z)
+        if isinstance(st, FastRngState):
+            arrays[f"{pfx}_key"] = np.asarray(st.key)
+            arrays[f"{pfx}_ctr"] = np.asarray(st.ctr)
+        else:
+            arrays[f"{pfx}_x"] = np.asarray(st.x)
+            arrays[f"{pfx}_y"] = np.asarray(st.y)
+            arrays[f"{pfx}_z"] = np.asarray(st.z)
     arrays["lnld"] = np.asarray(sampler.lnld)
     arrays["lnp"] = np.asarray(sampler.lnp)
+    # carried conditionals: derivable from (gen, seq) but saved verbatim so
+    # a resumed chain is bit-identical to an uninterrupted one (a rebuild
+    # may differ in the last ulp from the incrementally-maintained values)
+    arrays["cond"] = np.asarray(sampler.cond)
     arrays["iteration"] = np.asarray(iteration)
     arrays["rate_var"] = np.asarray(sampler.rate_var)
     arrays["format_version"] = np.asarray(_FORMAT_VERSION)
@@ -62,12 +72,26 @@ def load_checkpoint(sampler, path: str) -> int:
         name: cast(data[f"gen_{name}"]) for name in GenState._fields})
     sampler.params = Params(**{
         name: cast(data[f"params_{name}"]) for name in Params._fields})
-    sampler.lrng = R.RngState(x=cast(data["lrng_x"]), y=cast(data["lrng_y"]),
-                              z=cast(data["lrng_z"]))
-    sampler.grng = R.RngState(x=cast(data["grng_x"]), y=cast(data["grng_y"]),
-                              z=cast(data["grng_z"]))
+    from gphocs_tpu.rng_fast import FastRngState
+
+    def _load_rng(pfx):
+        if f"{pfx}_key" in data:
+            return FastRngState(key=cast(data[f"{pfx}_key"]),
+                                ctr=cast(data[f"{pfx}_ctr"]))
+        return R.RngState(x=cast(data[f"{pfx}_x"]),
+                          y=cast(data[f"{pfx}_y"]),
+                          z=cast(data[f"{pfx}_z"]))
+
+    sampler.lrng = _load_rng("lrng")
+    sampler.grng = _load_rng("grng")
     sampler.lnld = cast(data["lnld"])
     sampler.lnp = cast(data["lnp"])
+    if "cond" in data:
+        sampler.cond = cast(data["cond"])
+    else:  # older checkpoints: rebuild from the genealogy + data
+        from gphocs_tpu.ops.likelihood_cache import full_build
+
+        sampler.cond = full_build(sampler.gen, sampler.seq)
     sampler.rate_var = float(data["rate_var"])
     for k, tracker in sampler.ft_search.items():
         v = data[f"ft_{k}"]

@@ -3,7 +3,10 @@
 Mirrors reference src/GPhoCS.c:2439-2590.  Sequential sweep over migration
 slots (the reference sweeps its living_mignodes list), loci in parallel.
 Data likelihood is unchanged by this move; the acceptance ratio is the
-genealogy-prior delta only, obtained here by full recomputation.
+genealogy-prior delta only, computed in closed form per slot
+(mig_age_move_delta — the tensor twin of the reference's paired
+considerEventMove walks, src/patch.c:1434-1530) instead of a full
+sufficient-statistics recomputation per slot.
 
 Bounds: the band's time window intersected with the neighbouring events on
 the same branch (previous/next migration event, child node age below,
@@ -16,7 +19,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from gphocs_tpu import rng as R
-from gphocs_tpu.kernels.common import Context, band_windows, gen_log_prior, mh_accept
+from gphocs_tpu.kernels.common import Context, band_windows, mh_accept
+from gphocs_tpu.ops.coalstats import mig_age_move_delta
 from gphocs_tpu.state import GenState, Params, SeqData
 from gphocs_tpu.utils import reflect
 
@@ -58,15 +62,13 @@ def update_mig_ages(gen: GenState, params: Params, rng_state, ctx: Context,
         tnew = reflect(t + finetune * z, tb0, tb1).astype(t.dtype)
         tiny = jnp.abs(tnew - t) < 1e-15
 
-        gen_prop = gen._replace(mig_age=gen.mig_age.at[:, m].set(
-            jnp.where(active, tnew, t)))
-        lnp_prop = gen_log_prior(gen_prop, params, ctx)
-        lnacc = lnp_prop - lnp
+        dlnp = mig_age_move_delta(gen, params, ctx, m, tnew, bs, be)
+        lnacc = dlnp
 
         accept, rng_state = mh_accept(rng_state, lnacc, active & ~tiny)
         gen = gen._replace(mig_age=gen.mig_age.at[:, m].set(
             jnp.where(accept, tnew, t)))
-        lnp = jnp.where(accept, lnp_prop, lnp)
+        lnp = jnp.where(accept, lnp + dlnp, lnp)
         acc = acc + jnp.sum(((accept | (active & tiny))).astype(jnp.int32), dtype=jnp.int32)
         return (gen, rng_state, lnp, acc), None
 

@@ -21,14 +21,18 @@ import jax.numpy as jnp
 from gphocs_tpu import rng as R
 from gphocs_tpu.kernels.common import Context, scalar_mh_accept
 from gphocs_tpu.ops.coalstats import CoalStats
-from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.ops.likelihood_cache import (
+    full_build,
+    lnld_from_cond,
+    make_tables,
+)
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
 def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
-                  ctx: Context, finetune, lnld, lnp, stats: CoalStats,
+                  ctx: Context, finetune, lnld, lnp, cond, stats: CoalStats,
                   num_cur_pops: int):
-    """Returns (gen, params, rng_state, lnld, lnp, accepted)."""
+    """Returns (gen, params, rng_state, lnld, lnp, cond, accepted)."""
     z, rng_state = R.general_draw_2normal8(rng_state)
     lnc = (finetune * z).astype(lnld.dtype)
     c = jnp.exp(lnc)
@@ -68,7 +72,8 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
     gen_prop = gen._replace(age=gen.age * c, mig_age=gen.mig_age * c)
     params_prop = params._replace(theta=th_new, tau=tau_new,
                                   sample_age=sa_new, mig_rate=m_new)
-    lnld_prop = data_log_likelihood(gen_prop, seq)
+    cond_prop = full_build(gen_prop, seq, make_tables(gen))
+    lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
     data_delta = jnp.sum(lnld_prop - lnld)
     lnacc = lnacc + gen_delta + data_delta
 
@@ -77,10 +82,11 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
     sel = lambda n, o: jnp.where(accept, n, o)  # noqa: E731
     gen = jax.tree_util.tree_map(sel, gen_prop, gen)
     params = jax.tree_util.tree_map(sel, params_prop, params)
+    cond = jnp.where(accept, cond_prop, cond)
     lnld = jnp.where(accept, lnld_prop, lnld)
     # per-locus prior adjusts by -lnc * (coals + migs) of that locus
     per_locus = (jnp.sum(stats.num_coals, axis=1)
                  + (jnp.sum(stats.num_migs, axis=1) if B > 0 else 0)
                  ).astype(lnld.dtype)
     lnp = jnp.where(accept, lnp - lnc * per_locus, lnp)
-    return gen, params, rng_state, lnld, lnp, accept.astype(jnp.int32)
+    return gen, params, rng_state, lnld, lnp, cond, accept.astype(jnp.int32)

@@ -13,9 +13,12 @@ Per node per locus:
   a |tnew - t| < 1e-15 proposal is counted accepted without further draws
   (reference :2358-2362).
 
-The genealogy-prior delta is obtained by full recomputation of the
-sufficient statistics on the proposed state (mathematically identical to
-the reference's event-chain delta walk, src/patch.c:1434-1530).
+The genealogy-prior delta is closed-form (node_age_move_delta); the data
+delta is computed incrementally from the carried conditionals tensor by
+refreshing only the moved node and its ancestors (the tensor twin of the
+reference's dirty-conditional reuse, src/LocusDataLikelihood.c:426-520) —
+topology is static during this sweep so the one-hot topology tables are
+hoisted out of the node scan.
 """
 
 from __future__ import annotations
@@ -26,35 +29,36 @@ from jax import lax
 from gphocs_tpu import rng as R
 from gphocs_tpu.kernels.common import (
     Context,
+    band_windows,
     first_mig_above,
-    gen_log_prior,
     last_mig_below,
     mh_accept,
 )
-from gphocs_tpu.kernels.common import band_windows
 from gphocs_tpu.ops.coalstats import node_age_move_delta
-from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.ops.likelihood_cache import lnld_from_cond, make_tables, refresh
 from gphocs_tpu.state import GenState, Params, SeqData
 from gphocs_tpu.utils import reflect
 
 
 def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
                               rng_state, ctx: Context, finetune,
-                              lnld: jnp.ndarray, lnp: jnp.ndarray):
+                              lnld: jnp.ndarray, lnp: jnp.ndarray,
+                              cond: jnp.ndarray):
     """One full sweep over all internal nodes.
 
-    lnld/lnp: current per-locus data log-likelihood and genealogy log-prior
-    (carried to avoid recomputation).  Returns
-    (gen, rng_state, lnld, lnp, accepted_count).
+    lnld/lnp: current per-locus data log-likelihood and genealogy log-prior;
+    cond: carried pruning conditionals (consistent with `gen`).  Returns
+    (gen, rng_state, lnld, lnp, cond, accepted_count).
     """
     L = gen.num_loci
     S = gen.num_samples
     N = gen.num_nodes
     loci_mask = jnp.ones((L,), bool)
     bstart, bend = band_windows(ctx, params.tau)
+    tables = make_tables(gen)  # topology is static across this sweep
 
     def body(carry, inode):
-        gen, rng_state, lnld, lnp, acc = carry
+        gen, rng_state, lnld, lnp, cond, acc = carry
         t = gen.age[:, inode]
         pop = gen.node_pop[:, inode]
 
@@ -82,7 +86,9 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
         tiny = jnp.abs(tnew - t) < 1e-15
 
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))
-        lnld_prop = data_log_likelihood(gen_prop, seq)
+        dirty0 = jnp.zeros((N,), bool).at[inode].set(True)
+        cond_prop = refresh(cond, gen_prop, seq, dirty0, tables)
+        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
         dlnp = node_age_move_delta(gen, params, ctx, node_vec, tnew,
                                    bstart, bend)
         lnp_prop = lnp + dlnp
@@ -92,12 +98,13 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
         take = accept  # tiny moves keep the old age but count as accepted
         new_age = jnp.where(take, tnew, t)
         gen = gen._replace(age=gen.age.at[:, inode].set(new_age))
+        cond = jnp.where(take[:, None, None, None], cond_prop, cond)
         lnld = jnp.where(take, lnld_prop, lnld)
         lnp = jnp.where(take, lnp_prop, lnp)
         acc = acc + jnp.sum((accept | tiny).astype(jnp.int32), dtype=jnp.int32)
-        return (gen, rng_state, lnld, lnp, acc), None
+        return (gen, rng_state, lnld, lnp, cond, acc), None
 
-    init = (gen, rng_state, lnld, lnp, jnp.zeros((), jnp.int32))
-    (gen, rng_state, lnld, lnp, acc), _ = lax.scan(
+    init = (gen, rng_state, lnld, lnp, cond, jnp.zeros((), jnp.int32))
+    (gen, rng_state, lnld, lnp, cond, acc), _ = lax.scan(
         body, init, jnp.arange(S, N, dtype=jnp.int32))
-    return gen, rng_state, lnld, lnp, acc
+    return gen, rng_state, lnld, lnp, cond, acc

@@ -27,6 +27,13 @@ For each non-root node (sequential sweep, loci parallel):
 RNG discipline matches the C consumption order per locus stream: one
 uniform per interval with positive rate, a second on an event, and the MH
 uniform only when the simulation succeeded and lnacc < 0.
+
+TPU notes: the data-likelihood delta is computed by an incremental refresh
+of the carried conditionals (only f, g, the target's father and their
+ancestors are dirty — the tensor twin of the reference's dirty-flag reuse,
+src/LocusDataLikelihood.c:931-1020); every per-locus table lookup in the
+walk body is a one-hot reduction, never gather/scatter (dispatch-bound
+regime: one-hot forms measured 3-7x faster on TPU v5e at these shapes).
 """
 
 from __future__ import annotations
@@ -39,8 +46,19 @@ from jax import lax
 
 from gphocs_tpu import rng as R
 from gphocs_tpu.kernels.common import Context, band_windows, mh_accept
-from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.ops.likelihood_cache import lnld_from_cond, make_tables, refresh
 from gphocs_tpu.state import GenState, Params, SeqData
+
+
+def _take1(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """x[l, k[l]] as a one-hot reduction.  x: [L, K], k: [L] -> [L]."""
+    K = x.shape[1]
+    oh = (jnp.arange(K, dtype=k.dtype)[None, :] == k[:, None])
+    return jnp.sum(jnp.where(oh, x, 0), axis=1)
+
+
+def _onehot(k: jnp.ndarray, K: int, dtype) -> jnp.ndarray:
+    return (jnp.arange(K, dtype=k.dtype)[None, :] == k[:, None]).astype(dtype)
 
 
 def _branch_pop_at(gen: GenState, ctx: Context, t: jnp.ndarray):
@@ -50,6 +68,8 @@ def _branch_pop_at(gen: GenState, ctx: Context, t: jnp.ndarray):
     or node_pop if none (reference getEdgesForTimePop, src/patch.c:526-571).
     """
     L, N = gen.father.shape
+    if ctx.num_bands == 0:
+        return gen.node_pop
     active = gen.mig_branch >= 0
     below = active & (gen.mig_age < t[:, None])                    # [L, M]
     # for each branch: the mig below t with max age
@@ -57,11 +77,12 @@ def _branch_pop_at(gen: GenState, ctx: Context, t: jnp.ndarray):
     onb = (gen.mig_branch[:, None, :] ==
            jnp.arange(N, dtype=jnp.int32)[None, :, None])          # [L, N, M]
     keyed = jnp.where(onb, age_key[:, None, :], -jnp.inf)
-    if ctx.num_bands == 0:
-        return gen.node_pop
     best = jnp.argmax(keyed, axis=2)                               # [L, N]
-    has = jnp.any(jnp.isfinite(keyed) & (keyed > -jnp.inf), axis=2)
-    band = jnp.take_along_axis(gen.mig_band, best, axis=1)
+    has = jnp.any(keyed > -jnp.inf, axis=2)
+    M = gen.max_migs
+    boh = (jnp.arange(M, dtype=best.dtype)[None, None, :]
+           == best[:, :, None])                                    # [L, N, M]
+    band = jnp.sum(jnp.where(boh, gen.mig_band[:, None, :], 0), axis=2)
     return jnp.where(has, ctx.band_source[band], gen.node_pop)
 
 
@@ -78,11 +99,17 @@ def _covering_mask(gen: GenState, ctx: Context, t: jnp.ndarray,
     """[L, N] bool: branches alive in `pop` at time t (detached coverage:
     branch `exclude` is out)."""
     N = gen.num_nodes
+    P = ctx.num_pops
     top = _edge_top(gen, ctx)
     alive = (gen.age <= t[:, None]) & (t[:, None] < top)
     alive = alive & (jnp.arange(N)[None, :] != exclude[:, None])
     traj = _branch_pop_at(gen, ctx, t)
-    inpop = ctx.is_ancestral[pop[:, None], traj]
+    # is_ancestral[pop[l], traj[l, n]] as one-hot contractions
+    anc_rows = jnp.einsum("lp,pq->lq", _onehot(pop, P, gen.age.dtype),
+                          ctx.is_ancestral.astype(gen.age.dtype))  # [L, P]
+    toh = (traj[:, :, None] == jnp.arange(P)[None, None, :])       # [L, N, P]
+    inpop = jnp.einsum("lnp,lp->ln", toh.astype(gen.age.dtype),
+                       anc_rows) > 0.5
     return alive & inpop
 
 
@@ -137,8 +164,10 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
     on_pruned = act & (gen.mig_branch == node[:, None])
     base_migs = jnp.sum(act, axis=1) - jnp.sum(on_pruned, axis=1)
 
-    start_pop = gen.node_pop[ar, node]
-    start_age = gen.age[ar, node]
+    node_oh = _onehot(node, N, dt)                                 # [L, N]
+    start_pop = jnp.sum(jnp.where(node_oh > 0, gen.node_pop, 0),
+                        axis=1).astype(jnp.int32)
+    start_age = jnp.sum(node_oh * gen.age, axis=1)
 
     # static candidate boundary times [L, K]: node ages, migration events,
     # band window edges, population bottoms, plus the OLDAGE ceiling
@@ -149,7 +178,6 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         cand += [jnp.broadcast_to(bs[None, :], (L, Bn)),
                  jnp.broadcast_to(be[None, :], (L, Bn))]
     bounds_all = jnp.concatenate(cand, axis=1)           # [L, K0]
-    K = bounds_all.shape[1] + 1
 
     # precomputed per-branch data for coverage counting
     top_all = _edge_top(gen, ctx)                        # [L, N]
@@ -175,20 +203,14 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
                & (idxm[None, None, :] > idxm[None, :, None])))
         next_age = jnp.min(jnp.where(above_rel, mig_age_act[:, None, :],
                                      big), axis=2)
-        branch_safe = jnp.where(act, gen.mig_branch, 0)
-        branch_top_m = jnp.take_along_axis(top_all, branch_safe, axis=1)
+        branch_oh = ((gen.mig_branch[:, :, None]
+                      == jnp.arange(N)[None, None, :]) & act[:, :, None]
+                     ).astype(dt)                                  # [L, M, N]
+        branch_top_m = jnp.einsum("lmn,ln->lm", branch_oh, top_all)
         win_hi = jnp.minimum(next_age, branch_top_m)             # [L, M]
         src_pop_m = ctx.band_source[jnp.where(act, gen.mig_band, 0)]
-        branch_pop_m = jnp.take_along_axis(gen.node_pop, branch_safe, axis=1)
-
-    def _traj_and_alive(mids):
-        """[L,K,N] branch liveness at each candidate time (trajectory pops
-        enter through the einsum correction terms, not materialized)."""
-        alive = ((gen.age[:, None, :] <= mids[:, :, None])
-                 & (mids[:, :, None] < top_all[:, None, :]))     # [L,K,N]
-        alive = alive & (jnp.arange(N)[None, None, :]
-                         != node[:, None, None])
-        return alive
+        branch_pop_m = jnp.einsum("lmn,ln->lm", branch_oh,
+                                  gen.node_pop.astype(dt)).astype(jnp.int32)
 
     # ---- static per-node-step tables over the segment grid ----
     # The candidate boundary set is state-independent during the walk, so
@@ -199,7 +221,9 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         axis=1), axis=1)                                         # [L, K]
     mids0 = 0.5 * (jnp.concatenate(
         [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1) + b_sorted)
-    alive0 = _traj_and_alive(mids0)
+    alive0 = ((gen.age[:, None, :] <= mids0[:, :, None])
+              & (mids0[:, :, None] < top_all[:, None, :]))       # [L, K, N]
+    alive0 = alive0 & (jnp.arange(N)[None, None, :] != node[:, None, None])
     # n_by_base[l,k,q] = remaining branches whose trajectory pop is q at
     # segment k.  Base term: node pops (one-hot matmul, MXU); correction:
     # each active migration slot m retargets its branch's contribution from
@@ -212,8 +236,8 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         in_win = (act[:, None, :]
                   & (gen.mig_age[:, None, :] <= mids0[:, :, None])
                   & (mids0[:, :, None] < win_hi[:, None, :]))    # [L,K,M]
-        branch_alive = jnp.take_along_axis(
-            alive0, branch_safe[:, None, :].repeat(K0, 1), axis=2)
+        branch_alive = jnp.einsum("lkn,lmn->lkm", alive0.astype(dt),
+                                  branch_oh) > 0.5
         w = (in_win & branch_alive).astype(dt)                   # [L,K,M]
         src_onehot = (src_pop_m[:, :, None] ==
                       jnp.arange(P)[None, None, :]).astype(dt)   # [L,M,P]
@@ -238,23 +262,28 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         live0 = jnp.zeros((L, b_sorted.shape[1], 0), bool)
         migr_all = jnp.zeros_like(n_all)
 
+    anc_f = ctx.is_ancestral.astype(dt)
+    lo_base = jnp.concatenate([jnp.zeros((L, 1), dt), b_sorted[:, :-1]],
+                              axis=1)
+
     def body(st: _SimState):
         alive = st.status == 0
         # per-lane segment view above the current age along the current
         # pop's ancestor path, from the precomputed tables
-        lo = jnp.maximum(jnp.concatenate(
-            [jnp.zeros((L, 1), dt), b_sorted[:, :-1]], axis=1),
-            st.age[:, None])
+        lo = jnp.maximum(lo_base, st.age[:, None])
         hi = jnp.maximum(b_sorted, st.age[:, None])
         seg_len = jnp.maximum(hi - lo, 0.0)                      # [L, K]
-        onpath = ctx.is_ancestral[:, st.pop].T                   # [L, P]
+        onpath = jnp.einsum("lq,pq->lp", _onehot(st.pop, P, dt),
+                            anc_f) > 0.5                         # [L, P]
         hit = onpath[:, None, :] & inwin0                        # [L,K,P]
-        seg_pop = jnp.argmax(hit, axis=2).astype(jnp.int32)      # [L, K]
-        n = jnp.take_along_axis(n_all, seg_pop[:, :, None],
-                                axis=2)[:, :, 0]                 # [L, K]
-        mig_rate = jnp.take_along_axis(migr_all, seg_pop[:, :, None],
-                                       axis=2)[:, :, 0]
-        rate = mig_rate + 2.0 * n / params.theta[seg_pop]
+        hit_f = hit.astype(dt)
+        # exactly one pop window contains each segment midpoint along the
+        # path, so one-hot contractions read the per-segment tables
+        n = jnp.einsum("lkp,lkp->lk", hit_f, n_all)              # [L, K]
+        mig_rate = jnp.einsum("lkp,lkp->lk", hit_f, migr_all)
+        inv_theta = jnp.einsum("lkp,p->lk", hit_f, 1.0 / params.theta)
+        onany = jnp.any(hit, axis=2)                             # [L, K]
+        rate = jnp.where(onany, mig_rate + 2.0 * n * inv_theta, 0.0)
         hz = rate * seg_len
         cum = jnp.cumsum(hz, axis=1)
         u1, rng = R.rndu(st.rng, alive)
@@ -262,15 +291,14 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         reached = cum >= E[:, None]
         k = jnp.argmax(reached, axis=1)
         exits = ~jnp.any(reached, axis=1)                        # past OLDAGE
-        prev_cum = jnp.where(k > 0,
-                             jnp.take_along_axis(
-                                 cum, jnp.maximum(k - 1, 0)[:, None],
-                                 axis=1)[:, 0], 0.0)
-        rate_k = jnp.take_along_axis(rate, k[:, None], axis=1)[:, 0]
-        lo_k = jnp.take_along_axis(lo, k[:, None], axis=1)[:, 0]
+        koh = (jnp.arange(cum.shape[1])[None, :] == k[:, None])  # [L, K]
+        prev_cum = jnp.sum(jnp.where(koh, cum, 0), axis=1) - \
+            jnp.sum(jnp.where(koh, hz, 0), axis=1)
+        rate_k = jnp.sum(jnp.where(koh, rate, 0), axis=1)
+        lo_k = jnp.sum(jnp.where(koh, lo, 0), axis=1)
         t_event = lo_k + (E - prev_cum) / jnp.maximum(rate_k, 1e-300)
-        pop_k = jnp.take_along_axis(seg_pop, k[:, None], axis=1)[:, 0]
-        migr_k = jnp.take_along_axis(mig_rate, k[:, None], axis=1)[:, 0]
+        pop_k = jnp.einsum("lk,lkp->lp", koh.astype(dt), hit_f)  # [L, P] oh
+        migr_k = jnp.sum(jnp.where(koh, mig_rate, 0), axis=1)
 
         ev_mask = alive & ~exits
         u2, rng = R.rndu(rng, ev_mask)
@@ -278,8 +306,9 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         is_mig = ev_mask & (esample < migr_k) & (Bn > 0)
 
         over_cap = is_mig & (base_migs + st.n_new + 1 > M)
+        pop_k_id = jnp.argmax(pop_k, axis=1).astype(jnp.int32)
         if Bn > 0:
-            live_k = ((ctx.band_target[None, :] == pop_k[:, None])
+            live_k = ((ctx.band_target[None, :] == pop_k_id[:, None])
                       & (bs[None, :] <= t_event[:, None])
                       & (be[None, :] > t_event[:, None]))        # [L, B]
             rates_live = jnp.where(live_k, params.mig_rate[None, :], 0.0)
@@ -299,13 +328,13 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
         # coalescence: i-th covering branch (node-id order) at t_event
         is_coal = ev_mask & ~is_mig
-        n_k = jnp.take_along_axis(n, k[:, None], axis=1)[:, 0]
-        theta_k = params.theta[pop_k]
+        n_k = jnp.sum(jnp.where(koh, n, 0), axis=1)
+        theta_k = jnp.einsum("lp,p->l", pop_k, params.theta)
         i_pick = jnp.floor((esample - migr_k) * theta_k / 2.0
                            ).astype(jnp.int32)
         i_pick = jnp.clip(i_pick, 0,
                           jnp.maximum(n_k.astype(jnp.int32) - 1, 0))
-        cov = _covering_mask(gen, ctx, t_event, pop_k, node)     # [L, N]
+        cov = _covering_mask(gen, ctx, t_event, pop_k_id, node)  # [L, N]
         csum = jnp.cumsum(cov.astype(jnp.int32), axis=1)
         tgt = jnp.argmax(csum > i_pick[:, None], axis=1).astype(jnp.int32)
         coal_ok = is_coal & (n_k > 0)
@@ -318,7 +347,7 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
         pop = jnp.where(do_mig, src_pop, st.pop)
         # record the coalescence population (father_pop_new)
-        pop = jnp.where(coal_ok, pop_k, pop)
+        pop = jnp.where(coal_ok, pop_k_id, pop)
         age = jnp.where(do_mig, t_event, st.age)
         target = jnp.where(coal_ok, tgt, st.target)
         coal_age = jnp.where(coal_ok, t_event, st.coal_age)
@@ -347,7 +376,14 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
 
 
 def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
-    """Rewire topology + migration events for accepted lanes."""
+    """Rewire topology + migration events for accepted lanes.
+
+    All index-targeted writes are expressed as fused one-hot `where` chains
+    over the full [L, N] rows (no per-locus scatters — the dominant cost of
+    the round-1 version on TPU).  The chains replay the sequential update
+    order of the reference's SPR commit (src/GPhoCS.c:2716-2830): a later
+    rule overriding an earlier one appears further out in the where-nest.
+    """
     L = gen.num_loci
     N = gen.num_nodes
     M = gen.max_migs
@@ -363,47 +399,38 @@ def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
 
     topo_change = accept & (target != sib) & (target != f)
 
+    nid = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_f = nid == f[:, None]
+    is_sib = nid == sib[:, None]
+    is_g = (nid == g[:, None]) & (g >= 0)[:, None]
+    is_tgt = nid == target[:, None]
+    is_tf = (nid == tgt_fa[:, None]) & (tgt_fa >= 0)[:, None]
+    tc = topo_change[:, None]
+    acc2 = accept[:, None]
+
     # --- ages and father-pop of f ---
-    age = gen.age.at[ar, f_safe].set(
-        jnp.where(accept, t_new, gen.age[ar, f_safe]))
-    node_pop = gen.node_pop.at[ar, f_safe].set(
-        jnp.where(accept, sim.pop, gen.node_pop[ar, f_safe]))
+    age = jnp.where(acc2 & is_f, t_new[:, None], gen.age)
+    node_pop = jnp.where(acc2 & is_f, sim.pop[:, None], gen.node_pop)
 
-    # --- topology rewires (only when topo_change) ---
-    def upd(arr, idx, val, mask):
-        idx_safe = jnp.where(idx < 0, 0, idx)
-        old = arr[ar, idx_safe]
-        return arr.at[ar, idx_safe].set(jnp.where(mask & (idx >= 0), val, old))
-
+    # --- topology rewires (only when topo_change); sequential rules
+    #     sib->g, g.son f->sib, f->tgt edge, tf.son target->f as one chain
     father = gen.father
-    lson = gen.lson
-    rson = gen.rson
-    # sibling -> grandfather
-    father = upd(father, sib, g, topo_change)
-    # grandfather replaces son f by sibling
-    g_has = topo_change & (g >= 0)
-    g_safe = jnp.where(g < 0, 0, g)
-    lson = lson.at[ar, g_safe].set(
-        jnp.where(g_has & (gen.lson[ar, g_safe] == f), sib,
-                  lson[ar, g_safe]))
-    rson = rson.at[ar, g_safe].set(
-        jnp.where(g_has & (gen.rson[ar, g_safe] == f), sib,
-                  rson[ar, g_safe]))
-    # father f regrafts onto target edge
-    father = upd(father, f, tgt_fa, topo_change)
-    lson = upd(lson, f, node, topo_change)
-    rson = upd(rson, f, target, topo_change)
-    father = upd(father, target, f, topo_change)
-    tf_has = topo_change & (tgt_fa >= 0)
-    tf_safe = jnp.where(tgt_fa < 0, 0, tgt_fa)
-    # guard: if tgt_fa == g the son-slot update above may already have
-    # replaced f with sib there; compare against current arrays
-    lson = lson.at[ar, tf_safe].set(
-        jnp.where(tf_has & (lson[ar, tf_safe] == target), f,
-                  lson[ar, tf_safe]))
-    rson = rson.at[ar, tf_safe].set(
-        jnp.where(tf_has & (rson[ar, tf_safe] == target), f,
-                  rson[ar, tf_safe]))
+    father = jnp.where(tc & is_sib, g[:, None], father)
+    father = jnp.where(tc & is_f, tgt_fa[:, None], father)
+    father = jnp.where(tc & is_tgt, f[:, None], father)
+
+    lson = jnp.where(tc & is_g & (gen.lson == f[:, None]), sib[:, None],
+                     gen.lson)
+    lson1 = jnp.where(tc & is_f, node[:, None], lson)
+    # if tgt_fa == g the g-rule may already have replaced f with sib there,
+    # so the target-slot test runs against the post-g-rule values
+    lson = jnp.where(tc & is_tf & (lson1 == target[:, None]), f[:, None],
+                     lson1)
+    rson = jnp.where(tc & is_g & (gen.rson == f[:, None]), sib[:, None],
+                     gen.rson)
+    rson1 = jnp.where(tc & is_f, target[:, None], rson)
+    rson = jnp.where(tc & is_tf & (rson1 == target[:, None]), f[:, None],
+                     rson1)
     root = jnp.where(topo_change & (tgt_fa < 0), f,
                      jnp.where(topo_change & (g < 0), sib, gen.root))
 
@@ -441,13 +468,14 @@ def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
 
 
 def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
-               ctx: Context, lnld: jnp.ndarray):
+               ctx: Context, lnld: jnp.ndarray, cond: jnp.ndarray):
     """One full SPR sweep over all nodes.  Returns
-    (gen, rng_state, lnld, accepted_count).  The genealogy log-prior must
-    be recomputed by the caller afterwards."""
+    (gen, rng_state, lnld, cond, accepted_count).  The genealogy log-prior
+    must be recomputed by the caller afterwards."""
     L = gen.num_loci
     N = gen.num_nodes
     A = ctx.num_admixed
+    ar = jnp.arange(L)
     if A > 0:
         is_adm = jnp.zeros((N,), bool).at[ctx.admix_slot].set(True)
         adm_idx = jnp.zeros((N,), jnp.int32).at[ctx.admix_slot].set(
@@ -458,7 +486,7 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
             ctx.admix_pops[:, 1])
 
     def body(carry, inode):
-        gen, rng_state, lnld, acc = carry
+        gen, rng_state, lnld, cond, acc = carry
         node = jnp.full((L,), inode, jnp.int32)
         not_root = gen.root != inode
         gen_sim = gen
@@ -481,7 +509,18 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
         ok = sim.status == 1
 
         gen_prop = _apply_spr(gen_sim, ctx, node, ok, sim)
-        lnld_prop = data_log_likelihood(gen_prop, seq)
+        # data-likelihood delta: only f (new age/sons), the old grandfather
+        # (lost son f) and the target's old father (gained son f) — plus
+        # their ancestors, which the refresh discovers — are dirty
+        f = gen.father[ar, node]
+        g = gen.father[ar, jnp.where(f < 0, 0, f)]
+        tgt_fa = gen.father[ar, sim.target]
+        nid = jnp.arange(N, dtype=jnp.int32)[None, :]
+        dirty0 = ((nid == f[:, None]) & (f >= 0)[:, None]) \
+            | ((nid == g[:, None]) & (g >= 0)[:, None]) \
+            | ((nid == tgt_fa[:, None]) & (tgt_fa >= 0)[:, None] & ok[:, None])
+        cond_prop = refresh(cond, gen_prop, seq, dirty0, make_tables(gen_prop))
+        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
         lnacc = lnld_prop - lnld
         accept, rng_state = mh_accept(rng_state, lnacc, ok)
         gen = jax.tree_util.tree_map(
@@ -489,11 +528,12 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
                 accept.reshape((L,) + (1,) * (o.ndim - 1)), n_, o)
             if o.ndim >= 1 and o.shape[0] == L else jnp.where(accept, n_, o),
             gen_prop, gen)
+        cond = jnp.where(accept[:, None, None, None], cond_prop, cond)
         lnld = jnp.where(accept, lnld_prop, lnld)
         acc = acc + jnp.sum(accept.astype(jnp.int32), dtype=jnp.int32)
-        return (gen, rng_state, lnld, acc), None
+        return (gen, rng_state, lnld, cond, acc), None
 
-    init = (gen, rng_state, lnld, jnp.zeros((), jnp.int32))
-    (gen, rng_state, lnld, acc), _ = lax.scan(
+    init = (gen, rng_state, lnld, cond, jnp.zeros((), jnp.int32))
+    (gen, rng_state, lnld, cond, acc), _ = lax.scan(
         body, init, jnp.arange(N, dtype=jnp.int32))
-    return gen, rng_state, lnld, acc
+    return gen, rng_state, lnld, cond, acc

@@ -44,7 +44,11 @@ from gphocs_tpu.kernels.common import (
     gen_log_prior,
     scalar_mh_accept,
 )
-from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.ops.likelihood_cache import (
+    full_build,
+    lnld_from_cond,
+    make_tables,
+)
 from gphocs_tpu.state import GenState, Params, SeqData
 from gphocs_tpu.utils import reflect
 
@@ -74,12 +78,14 @@ def _mig_neighbor_ages(gen: GenState):
 def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
                           ctx: Context, pop: int, is_sample_age: bool,
                           taub0, taub1, tauold, taunew,
-                          lnld, lnp):
+                          lnld, lnp, tables):
     """Shared core: build the remapped state, count Jacobian terms, detect
     conflicts, and compute the likelihood deltas.
 
-    Returns (gen_prop, params_prop, lnld_prop, lnp_prop,
-             ntj0, ntj1, conflict, lnf0, lnf1)."""
+    tables: hoisted one-hot topology tables (topology is unchanged by
+    rubber-band moves, so one set serves the whole pop sweep).  Returns
+    (gen_prop, params_prop, cond_prop, lnld_prop, lnp_prop,
+     ntj0, ntj1, conflict, lnf0, lnf1)."""
     L = gen.num_loci
     S = gen.num_samples
     dt = gen.age.dtype
@@ -143,11 +149,12 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
             params_prop = params._replace(
                 tau=params.tau.at[pop].set(taunew))
         gen_prop = gen._replace(age=new_age)
-        lnld_prop = data_log_likelihood(gen_prop, seq)
+        cond_prop = full_build(gen_prop, seq, tables)
+        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
         lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
         lnf0 = jnp.log(f0)
         lnf1 = jnp.log(f1) if not is_root else jnp.log(f0)
-        return (gen_prop, params_prop, lnld_prop, lnp_prop,
+        return (gen_prop, params_prop, cond_prop, lnld_prop, lnp_prop,
                 ntj0, ntj1, jnp.asarray(False), lnf0, lnf1)
     msrc = ctx.band_source[band]
     mtgt = ctx.band_target[band]
@@ -239,12 +246,13 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
 
     gen_prop = gen._replace(age=new_age,
                             mig_age=jnp.where(active, new_mage, gen.mig_age))
-    lnld_prop = data_log_likelihood(gen_prop, seq)
+    cond_prop = full_build(gen_prop, seq, tables)
+    lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
     lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
 
     lnf0 = jnp.log(f0)
     lnf1 = jnp.log(f1) if not is_root else jnp.log(f0)
-    return (gen_prop, params_prop, lnld_prop, lnp_prop,
+    return (gen_prop, params_prop, cond_prop, lnld_prop, lnp_prop,
             ntj0.astype(dt), ntj1.astype(dt), any_conflict, lnf0, lnf1)
 
 
@@ -253,14 +261,15 @@ def _select(cond, new, old):
 
 
 def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
-                ctx: Context, finetunes_taus, lnld, lnp,
+                ctx: Context, finetunes_taus, lnld, lnp, cond,
                 num_pops: int, num_cur_pops: int):
     """Sweep over ancestral pops (reference UpdateTau).
 
     finetunes_taus: [P] per-pop step sizes.  Returns
-    (gen, params, rng_state, lnld, lnp, accepted[P], conflicts)."""
+    (gen, params, rng_state, lnld, lnp, cond, accepted[P], conflicts)."""
     accepted = jnp.zeros((num_pops,), jnp.int32)
     conflicts = jnp.zeros((), jnp.int32)
+    tables = make_tables(gen)  # rubber-band never changes topology
     for pop in range(num_cur_pops, num_pops):
         is_root = pop == num_pops - 1
         sons = ctx.pop_sons[pop]
@@ -287,9 +296,11 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
         taunew = reflect(tauold + finetunes_taus[pop] * z,
                          taub0, taub1).astype(lnld.dtype)
 
-        (gen_p, params_p, lnld_p, lnp_p, ntj0, ntj1, conflict, lnf0, lnf1) = \
+        (gen_p, params_p, cond_p, lnld_p, lnp_p, ntj0, ntj1, conflict,
+         lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, False,
-                                  taub0, taub1, tauold, taunew, lnld, lnp)
+                                  taub0, taub1, tauold, taunew, lnld, lnp,
+                                  tables)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
@@ -301,21 +312,23 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                                      gen_p, gen)
         params = jax.tree_util.tree_map(lambda n, o: _select(accept, n, o),
                                         params_p, params)
+        cond = _select(accept, cond_p, cond)
         lnld = _select(accept, lnld_p, lnld)
         lnp = _select(accept, lnp_p, lnp)
         accepted = accepted.at[pop].add(accept.astype(jnp.int32))
         conflicts = conflicts + conflict.astype(jnp.int32)
-    return gen, params, rng_state, lnld, lnp, accepted, conflicts
+    return gen, params, rng_state, lnld, lnp, cond, accepted, conflicts
 
 
 def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
-                       ctx: Context, finetunes_taus, lnld, lnp,
+                       ctx: Context, finetunes_taus, lnld, lnp, cond,
                        num_cur_pops: int, update_mask):
     """Sweep over current pops with estimated sample ages
     (reference UpdateSampleAge).  update_mask: python list of bools."""
     P = params.tau.shape[0]
     accepted = jnp.zeros((P,), jnp.int32)
     conflicts = jnp.zeros((), jnp.int32)
+    tables = make_tables(gen)
     for pop in range(num_cur_pops):
         if not update_mask[pop]:
             continue
@@ -326,9 +339,11 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
         taunew = reflect(tauold + finetunes_taus[pop] * z,
                          taub0, taub1).astype(lnld.dtype)
 
-        (gen_p, params_p, lnld_p, lnp_p, ntj0, ntj1, conflict, lnf0, lnf1) = \
+        (gen_p, params_p, cond_p, lnld_p, lnp_p, ntj0, ntj1, conflict,
+         lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, True,
-                                  taub0, taub1, tauold, taunew, lnld, lnp)
+                                  taub0, taub1, tauold, taunew, lnld, lnp,
+                                  tables)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
@@ -340,8 +355,9 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
                                      gen_p, gen)
         params = jax.tree_util.tree_map(lambda n, o: _select(accept, n, o),
                                         params_p, params)
+        cond = _select(accept, cond_p, cond)
         lnld = _select(accept, lnld_p, lnld)
         lnp = _select(accept, lnp_p, lnp)
         accepted = accepted.at[pop].add(accept.astype(jnp.int32))
         conflicts = conflicts + conflict.astype(jnp.int32)
-    return gen, params, rng_state, lnld, lnp, accepted, conflicts
+    return gen, params, rng_state, lnld, lnp, cond, accepted, conflicts

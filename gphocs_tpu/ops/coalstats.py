@@ -249,6 +249,88 @@ def lineage_presence_integral(gen: GenState, band_source: jnp.ndarray,
     return jnp.sum(jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=1)
 
 
+def mig_age_move_delta(gen: GenState, params: Params, ctx,
+                       slot: int, tnew: jnp.ndarray,
+                       band_start, band_end) -> jnp.ndarray:
+    """Genealogy-log-prior delta for moving migration event `slot` from its
+    current age to tnew (one per locus; inactive slots return 0).
+
+    Closed form (tensor twin of the reference's paired considerEventMove on
+    the source and target chains, src/GPhoCS.c:2490-2530 /
+    src/patch.c:1434-1530): within the move window W the branch's
+    trajectory base pop switches between the band's target p (below the
+    event) and source s (above), so one lineage moves between the pop sets
+    anc(p) and anc(s) during W:
+
+        moving up   (t' > t): lineage added to anc(p)\\anc(s),
+                              removed from anc(s)\\anc(p)
+        added to r:    dcoal_r = +2 * int_{W ^ win_r} n_r dt
+        removed from r: dcoal_r = -2 * (int_{W ^ win_r} n_r dt - |W ^ win_r|)
+        dmig_b = +-|W ^ band-window_b|  for bands targeting changed pops
+        dlnP   = -sum_r dcoal_r / theta_r - sum_b m_b dmig_b
+
+    (event counts are unchanged).  n_r is the current-state lineage count.
+    """
+    L = gen.num_loci
+    P = params.theta.shape[0]
+    dt = gen.age.dtype
+    active = gen.mig_branch[:, slot] >= 0
+    band = jnp.where(active, gen.mig_band[:, slot], 0)
+    t = gen.mig_age[:, slot]
+    s_pop = ctx.band_source[band]
+    p_pop = ctx.band_target[band]
+    up = tnew > t
+    A = jnp.where(up, p_pop, s_pop)   # pop gaining the lineage in W
+    Rm = jnp.where(up, s_pop, p_pop)  # pop losing it
+    w0 = jnp.minimum(t, tnew)
+    w1 = jnp.maximum(t, tnew)
+
+    anc = ctx.is_ancestral.astype(dt)                       # [P, P]
+    ohA = (A[:, None] == jnp.arange(P)[None, :]).astype(dt)
+    ohR = (Rm[:, None] == jnp.arange(P)[None, :]).astype(dt)
+    in_A = jnp.einsum("lq,rq->lr", ohA, anc) > 0.5          # [L, P]
+    in_R = jnp.einsum("lq,rq->lr", ohR, anc) > 0.5
+    addm = in_A & ~in_R
+    remm = in_R & ~in_A
+
+    # I_r = current-state lineage time in pop r over W (all segments)
+    segs = segments(gen, ctx.band_source, ctx.oldage)
+    pend = jnp.where(ctx.father_pop < 0, jnp.asarray(ctx.oldage, dt),
+                     params.tau[jnp.where(ctx.father_pop < 0, 0,
+                                          ctx.father_pop)])
+    lo = jnp.maximum(jnp.maximum(segs.start[:, None, :],
+                                 params.tau[None, :, None]),
+                     w0[:, None, None])
+    hi = jnp.minimum(jnp.minimum(segs.end[:, None, :],
+                                 pend[None, :, None]),
+                     w1[:, None, None])
+    present = segs.valid[:, None, :] & (
+        anc[:, segs.base_pop].transpose(1, 0, 2) > 0.5)
+    integ = jnp.sum(
+        jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=2)  # [L, P]
+    wlen_r = jnp.maximum(
+        jnp.minimum(w1[:, None], pend[None, :])
+        - jnp.maximum(w0[:, None], params.tau[None, :]), 0.0)        # [L, P]
+
+    dcoal = jnp.where(addm, 2.0 * integ,
+                      jnp.where(remm, -2.0 * (integ - wlen_r), 0.0))
+    dlnp = -jnp.sum(dcoal / params.theta[None, :], axis=1)
+
+    B = ctx.band_source.shape[0]
+    if B > 0:
+        tb = ctx.band_target                                 # [B]
+        ov = jnp.maximum(
+            jnp.minimum(w1[:, None], band_end[None, :])
+            - jnp.maximum(w0[:, None], band_start[None, :]), 0.0)    # [L, B]
+        ohTb = jnp.asarray(tb[None, :] == jnp.arange(P)[:, None],
+                           dt)                               # [P, B]
+        add_b = jnp.einsum("lr,rb->lb", addm.astype(dt), ohTb) > 0.5
+        rem_b = jnp.einsum("lr,rb->lb", remm.astype(dt), ohTb) > 0.5
+        dmig = jnp.where(add_b, ov, jnp.where(rem_b, -ov, 0.0))
+        dlnp = dlnp - jnp.sum(dmig * params.mig_rate[None, :], axis=1)
+    return jnp.where(active, dlnp, 0.0)
+
+
 def node_age_move_delta(gen: GenState, params: Params, ctx,
                         inode: jnp.ndarray, tnew: jnp.ndarray,
                         band_start, band_end) -> jnp.ndarray:

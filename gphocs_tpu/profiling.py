@@ -32,25 +32,27 @@ def kernel_times(sampler, reps: int = 3) -> Dict[str, float]:
     ft = s.ft
     stats = full_stats(s.gen, s.params, s.ctx)
     tree = s.tree
+    cond = s.cond
 
     cases = {
         "pruning": (jax.jit(data_log_likelihood), (s.gen, s.seq)),
         "full_stats": (jax.jit(full_stats), (s.gen, s.params, s.ctx)),
         "node_age": (jax.jit(update_internal_node_ages),
                      (s.gen, s.params, s.seq, s.lrng, s.ctx, ft.coal_time,
-                      s.lnld, s.lnp)),
+                      s.lnld, s.lnp, cond)),
         "spr": (jax.jit(update_spr),
-                (s.gen, s.params, s.seq, s.lrng, s.ctx, s.lnld)),
+                (s.gen, s.params, s.seq, s.lrng, s.ctx, s.lnld, cond)),
         "theta": (jax.jit(update_thetas),
                   (s.gen, s.params, s.grng, s.ctx, ft.theta, s.lnp, stats)),
         "tau": (jax.jit(functools.partial(
             update_taus, num_pops=tree.num_pops,
             num_cur_pops=tree.num_cur_pops)),
-            (s.gen, s.params, s.seq, s.grng, s.ctx, ft.taus, s.lnld, s.lnp)),
+            (s.gen, s.params, s.seq, s.grng, s.ctx, ft.taus, s.lnld, s.lnp,
+             cond)),
         "mixing": (jax.jit(functools.partial(
             update_mixing, num_cur_pops=tree.num_cur_pops)),
             (s.gen, s.params, s.seq, s.grng, s.ctx, ft.mixing, s.lnld,
-             s.lnp, stats)),
+             s.lnp, cond, stats)),
     }
     if tree.num_bands > 0:
         cases["mig_age"] = (jax.jit(update_mig_ages),

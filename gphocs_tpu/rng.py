@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gphocs_tpu.rng_fast import FastRngState
+from gphocs_tpu import rng_fast as _fast
+
 
 class RngState(NamedTuple):
     """Batched Wichmann-Hill state; each field has shape [K], dtype uint32."""
@@ -103,6 +106,8 @@ def rndu(state: RngState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, RngState]:
     Returns (u [K] float64, new_state).  Matches reference rndu()
     including the `r - (int)r` fold (values are always >= 0 here).
     """
+    if isinstance(state, FastRngState):
+        return _fast.rndu(state, mask)
     nx, ny, nz = _wh_step(state.x, state.y, state.z)
     x = jnp.where(mask, nx, state.x)
     y = jnp.where(mask, ny, state.y)
@@ -118,6 +123,8 @@ def rndnormal(state: RngState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, RngState
     """Standard normal via the Marsaglia-Bray polar method with per-lane
     rejection (reference src/utils.c:459-477).  Lanes still rejecting keep
     consuming pairs of uniforms; accepted/unmasked lanes stop."""
+    if isinstance(state, FastRngState):
+        return _fast.rndnormal(state, mask)
 
     def cond(carry):
         _, _, done = carry
@@ -145,6 +152,8 @@ def rndnormal(state: RngState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, RngState
 
 def rnd2normal8(state: RngState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, RngState]:
     """Mixture-of-two-normals proposal kernel (reference src/utils.c:482-495)."""
+    if isinstance(state, FastRngState):
+        return _fast.rnd2normal8(state, mask)
     n, state = rndnormal(state, mask)
     zval = _M2N + n * _S2N
     u, state = rndu(state, mask)
@@ -155,13 +164,16 @@ def rnd2normal8(state: RngState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, RngSta
 def rndexp(state: RngState, mask: jnp.ndarray, mean: jnp.ndarray
            ) -> Tuple[jnp.ndarray, RngState]:
     """Exponential with given mean (reference src/utils.h:27)."""
+    if isinstance(state, FastRngState):
+        return _fast.rndexp(state, mask, mean)
     u, state = rndu(state, mask)
     return -mean * jnp.log(u), state
 
 
 def general_draw_u(state: RngState, active=True) -> Tuple[jnp.ndarray, RngState]:
     """Scalar U(0,1) from a size-1 (general) stream."""
-    m = jnp.full((state.x.shape[0],), active, bool)
+    n = (state.key if isinstance(state, FastRngState) else state.x).shape[0]
+    m = jnp.full((n,), active, bool)
     u, state = rndu(state, m)
     return u[0], state
 
@@ -169,6 +181,7 @@ def general_draw_u(state: RngState, active=True) -> Tuple[jnp.ndarray, RngState]
 def general_draw_2normal8(state: RngState, active=True
                           ) -> Tuple[jnp.ndarray, RngState]:
     """Scalar rnd2normal8 from a size-1 (general) stream."""
-    m = jnp.full((state.x.shape[0],), active, bool)
+    n = (state.key if isinstance(state, FastRngState) else state.x).shape[0]
+    m = jnp.full((n,), active, bool)
     zval, state = rnd2normal8(state, m)
     return zval[0], state

@@ -31,7 +31,20 @@ from gphocs_tpu.io.sequences import build_seq_data, read_seq_file
 from gphocs_tpu.kernels.common import make_context
 from gphocs_tpu.model.poptree import PopTree, build_poptree
 from gphocs_tpu.ops.pruning import data_log_likelihood
+from gphocs_tpu.ops.likelihood_cache import full_build, lnld_from_cond
 from gphocs_tpu.kernels.common import gen_log_prior
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _init_device_state(gen, params, seq, ctx):
+    """One compiled call for the initial conditionals + likelihoods
+    (eager evaluation would trigger one XLA compile per primitive —
+    measured ~105 s of compile time at 1000 loci on the TPU relay)."""
+    cond = full_build(gen, seq)
+    lnld = lnld_from_cond(cond, gen, seq)
+    lnp = gen_log_prior(gen, params, ctx)
+    return cond, lnld, lnp
 from gphocs_tpu.rng_host import HostRng
 from gphocs_tpu.sampler.init import (
     init_gen_state,
@@ -92,14 +105,21 @@ class Sampler:
     def __init__(self, cfg: RunConfig, seq_path: Optional[str] = None,
                  num_loci: Optional[int] = None, dtype=jnp.float64,
                  legacy_rng: bool = True, verbose: bool = False,
-                 mesh=None, chains: int = 1):
+                 mesh=None, chains: int = 1, rng_mode: str = "legacy"):
         """mesh: optional jax.sharding.Mesh with a 'loci' axis; per-locus
         state shards over it (loci padded to a device-count multiple with
         inert padding loci).  chains > 1 runs that many independent chains
-        vmapped over a leading axis (shared data; per-chain params/RNG)."""
+        vmapped over a leading axis (shared data; per-chain params/RNG).
+
+        rng_mode: 'legacy' carries the reference's Wichmann-Hill streams
+        (bit-compatible consumption order, conformance mode); 'fast' uses
+        loop-free counter-based streams (gphocs_tpu/rng_fast.py) — the
+        production mode on TPU, statistically but not bitwise equivalent."""
         self.cfg = cfg
         self.mesh = mesh
         self.chains = chains
+        assert rng_mode in ("legacy", "fast")
+        self.rng_mode = rng_mode
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -180,8 +200,15 @@ class Sampler:
                     f"need {self.num_loci}")
         rates, self.rate_var = sample_locus_rates(
             self.num_loci, cfg.mcmc.mut_rate_mode, self.host_rng, fixed)
-        gen_np = init_gen_state(self.tree, params, self.host_rng,
-                                self.num_loci, rates)
+        if self.rng_mode == "fast":
+            from gphocs_tpu.sampler.init import init_gen_state_fast
+
+            gen_np = init_gen_state_fast(self.tree, params,
+                                         self.seed ^ 0x243F6A88,
+                                         self.num_loci, rates)
+        else:
+            gen_np = init_gen_state(self.tree, params, self.host_rng,
+                                    self.num_loci, rates)
         self.gen = GenState(*[jnp.asarray(x) for x in gen_np])
         cast = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
         self.gen = self.gen._replace(age=cast(gen_np.age),
@@ -191,13 +218,21 @@ class Sampler:
                              sample_age=cast(params.sample_age),
                              mig_rate=cast(params.mig_rate),
                              admix_coeff=cast(params.admix_coeff))
-        x, y, z = self.host_rng.state_arrays()
         # per-locus streams [L] and general stream [1] are kept separate so
         # that locus streams shard cleanly over the loci mesh axis
-        self.lrng = R.RngState(x=jnp.asarray(x[:-1]), y=jnp.asarray(y[:-1]),
-                               z=jnp.asarray(z[:-1]))
-        self.grng = R.RngState(x=jnp.asarray(x[-1:]), y=jnp.asarray(y[-1:]),
-                               z=jnp.asarray(z[-1:]))
+        if self.rng_mode == "fast":
+            from gphocs_tpu.rng_fast import init_fast
+
+            self.lrng = init_fast(self.num_loci, self.seed)
+            self.grng = init_fast(1, self.seed + 0x5F3759DF)
+        else:
+            x, y, z = self.host_rng.state_arrays()
+            self.lrng = R.RngState(x=jnp.asarray(x[:-1]),
+                                   y=jnp.asarray(y[:-1]),
+                                   z=jnp.asarray(z[:-1]))
+            self.grng = R.RngState(x=jnp.asarray(x[-1:]),
+                                   y=jnp.asarray(y[-1:]),
+                                   z=jnp.asarray(z[-1:]))
         if self.pad_loci:
             self.gen = self.gen._replace(valid=self.gen.valid.at[
                 self.num_loci - self.pad_loci:].set(False))
@@ -212,8 +247,8 @@ class Sampler:
                 jnp.zeros((self.num_loci,), self.dtype),
                 self.params, self.grng)
             self.ctx = jax.device_put(self.ctx, replicated(self.mesh))
-        self.lnld = data_log_likelihood(self.gen, self.seq)
-        self.lnp = gen_log_prior(self.gen, self.params, self.ctx)
+        self.cond, self.lnld, self.lnp = _init_device_state(
+            self.gen, self.params, self.seq, self.ctx)
 
         ftc = cfg.mcmc.finetunes
         if cfg.mcmc.find_finetunes:
@@ -255,11 +290,12 @@ class Sampler:
             finally:
                 self.chains = saved
             states.append((self.gen, self.params, self.lrng, self.grng,
-                           self.lnld, self.lnp))
+                           self.lnld, self.lnp, self.cond))
         stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
             lambda *a: jnp.stack(a), *xs)
         (self.gen, self.params, self.lrng, self.grng, self.lnld,
-         self.lnp) = (stack([st[i] for st in states]) for i in range(6))
+         self.lnp, self.cond) = (stack([st[i] for st in states])
+                                 for i in range(7))
 
     def _update_ft_device(self):
         self.ft = Finetunes(
@@ -312,9 +348,9 @@ class Sampler:
         sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
                                 [:self.tree.num_cur_pops])
         (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
-         stats) = mcmc_iteration(
+         self.cond, stats) = mcmc_iteration(
             self.gen, self.params, self.seq, self.lrng, self.grng, self.lnld,
-            self.lnp, ft, ctx=self.ctx,
+            self.lnp, self.cond, ft, ctx=self.ctx,
             genetree_samples=cfg.mcmc.genetree_samples,
             do_migrate=do_migrate,
             do_mixing=cfg.mcmc.do_mixing,
@@ -341,9 +377,10 @@ class Sampler:
                                 [:self.tree.num_cur_pops])
         chunk_fn = mcmc_chunk_chains if self.chains > 1 else mcmc_chunk
         (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
-         stats, trace) = chunk_fn(
+         self.cond, stats, trace) = chunk_fn(
             self.gen, self.params, self.seq, self.lrng, self.grng,
-            self.lnld, self.lnp, self.ft, ctx=self.ctx, n_iters=n_iters,
+            self.lnld, self.lnp, self.cond, self.ft, ctx=self.ctx,
+            n_iters=n_iters,
             genetree_samples=cfg.mcmc.genetree_samples,
             do_migrate=do_migrate,
             do_mixing=cfg.mcmc.do_mixing,

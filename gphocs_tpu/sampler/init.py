@@ -146,6 +146,116 @@ def random_genealogy(tree: PopTree, params: Params, rng: HostRng, gen: int):
     return father, lson, rson, age, node_pop, root
 
 
+def _post_order_pops(tree: PopTree):
+    order = []
+
+    def rec(pop):
+        if tree.sons[pop, 0] >= 0:
+            rec(int(tree.sons[pop, 0]))
+            rec(int(tree.sons[pop, 1]))
+        order.append(pop)
+
+    rec(int(tree.root_pop))
+    return order
+
+
+def init_gen_state_fast(tree: PopTree, params: Params, seed: int,
+                        num_loci: int, mut_rates: np.ndarray,
+                        max_migs: int = MAX_MIGS,
+                        dtype=np.float64) -> GenState:
+    """Vectorized random genealogies for all loci (production path).
+
+    Same coalescent simulation as random_genealogy
+    (reference GetRandomGtree/Coalescence1Pop, src/patch.c:241-360) but
+    batched over loci with numpy — masked coalescence steps per population
+    in post-order — instead of a per-locus Python loop.  Uses a numpy
+    Generator rather than the legacy per-locus WH streams (the legacy
+    loop is the conformance path; at 37K+ loci it costs minutes of host
+    time while this runs in well under a second).
+    """
+    L = num_loci
+    S = tree.num_samples
+    N = 2 * S - 1
+    rng = np.random.default_rng(seed)
+    father = np.full((L, N), -1, np.int64)
+    lson = np.full((L, N), -1, np.int64)
+    rson = np.full((L, N), -1, np.int64)
+    age = np.zeros((L, N), dtype)
+    node_pop = np.zeros((L, N), np.int64)
+    next_node = np.full(L, S, np.int64)
+    ar = np.arange(L)
+
+    cum = np.concatenate([[0], np.cumsum(tree.samples_per_pop)])
+    # survivor sets per pop: ids [L, S] (unused slots -1) + counts [L]
+    surv_ids = {}
+    surv_k = {}
+    for pop in _post_order_pops(tree):
+        if pop < tree.num_cur_pops:
+            lo, hi = int(cum[pop]), int(cum[pop + 1])
+            k = np.full(L, hi - lo, np.int64)
+            living = np.full((L, S), -1, np.int64)
+            living[:, :hi - lo] = np.arange(lo, hi)
+            node_pop[:, lo:hi] = pop
+            age[:, lo:hi] = tree.sample_age[pop]
+            T = np.full(L, tree.sample_age[pop], dtype)
+        else:
+            s0, s1 = int(tree.sons[pop, 0]), int(tree.sons[pop, 1])
+            kl, kr = surv_k[s0], surv_k[s1]
+            k = kl + kr
+            living = np.full((L, S), -1, np.int64)
+            living[:, :S] = surv_ids[s0]
+            # append right survivors after the left ones, column by column
+            for j in range(S):
+                dst = kl + j
+                m = (j < kr) & (dst < S)
+                living[ar[m], dst[m]] = surv_ids[s1][m, j]
+            T = np.full(L, params.tau[pop], dtype)
+        fa_pop = int(tree.father[pop])
+        top = params.tau[fa_pop] if fa_pop >= 0 else np.inf
+        stopped = np.zeros(L, bool)
+        for _ in range(S - 1):
+            active = (k > 1) & ~stopped
+            if not active.any():
+                break
+            kk = np.maximum(k, 2).astype(dtype)
+            mean = params.theta[pop] / (kk * (kk - 1.0))
+            t = rng.exponential(mean)
+            T = np.where(active, T + t, T)
+            exceeded = active & (T > top)
+            stopped |= exceeded
+            go = active & ~exceeded
+            c1 = np.minimum((k * rng.random(L)).astype(np.int64), k - 1)
+            node1 = living[ar, c1]
+            living[ar[go], c1[go]] = living[ar[go], (k - 1)[go]]
+            c2 = np.minimum(((k - 1) * rng.random(L)).astype(np.int64),
+                            np.maximum(k - 2, 0))
+            node2 = living[ar, c2]
+            nid = next_node
+            living[ar[go], c2[go]] = nid[go]
+            g = ar[go]
+            rson[g, nid[go]] = node1[go]
+            lson[g, nid[go]] = node2[go]
+            age[g, nid[go]] = T[go]
+            father[g, node1[go]] = nid[go]
+            father[g, node2[go]] = nid[go]
+            node_pop[g, nid[go]] = pop
+            next_node = np.where(go, next_node + 1, next_node)
+            k = np.where(go, k - 1, k)
+        surv_ids[pop] = living
+        surv_k[pop] = k
+    root = next_node - 1
+    return GenState(
+        father=father.astype(np.int32), lson=lson.astype(np.int32),
+        rson=rson.astype(np.int32), age=age,
+        node_pop=node_pop.astype(np.int32), root=root.astype(np.int32),
+        mig_branch=np.full((num_loci, max_migs), -1, np.int32),
+        mig_band=np.zeros((num_loci, max_migs), np.int32),
+        mig_age=np.zeros((num_loci, max_migs), dtype),
+        mut_rate=np.asarray(mut_rates, dtype),
+        valid=np.ones(num_loci, bool),
+    )
+
+
 def init_gen_state(tree: PopTree, params: Params, rng: HostRng,
                    num_loci: int, mut_rates: np.ndarray,
                    max_migs: int = MAX_MIGS, dtype=np.float64) -> GenState:

@@ -30,6 +30,7 @@ from gphocs_tpu.kernels.scalar_params import update_mig_rates, update_thetas
 from gphocs_tpu.kernels.spr import update_spr
 from gphocs_tpu.kernels.tau import update_sample_ages, update_taus
 from gphocs_tpu.ops.coalstats import genealogy_log_prior
+from gphocs_tpu.ops.likelihood_cache import full_build
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -71,7 +72,7 @@ class StepStats(NamedTuple):
                      "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
-                   lnld, lnp, ft: Finetunes, *, ctx: Context,
+                   lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
                    num_pops: int, num_cur_pops: int,
                    sample_age_mask: tuple,
@@ -80,7 +81,11 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    mixing_on: bool = True, var_rates: bool = False,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
                    admix_on: bool = True):
-    """Returns (gen, params, lrng, grng, lnld, lnp, StepStats)."""
+    """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
+
+    cond: carried pruning conditionals, consistent with (gen, seq) on
+    entry and on return (the checkAll-style invariant is that
+    lnld == lnld_from_cond(cond) at every step boundary)."""
     acc_ct = jnp.zeros((), jnp.int32)
     acc_mt = jnp.zeros((), jnp.int32)
     acc_spr = jnp.zeros((), jnp.int32)
@@ -89,15 +94,15 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
 
     for _ in range(genetree_samples):
         if coal_time_on:
-            gen, lrng, lnld, lnp, a = update_internal_node_ages(
-                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp)
+            gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
+                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp, cond)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
             gen, lrng, lnp, a = update_mig_ages(
                 gen, params, lrng, ctx, ft.mig_time, lnp)
             acc_mt = acc_mt + a
-        gen, lrng, lnld, a = update_spr(
-            gen, params, seq, lrng, ctx, lnld)
+        gen, lrng, lnld, cond, a = update_spr(
+            gen, params, seq, lrng, ctx, lnld, cond)
         acc_spr = acc_spr + a
         # SPR tracks only the data likelihood; refresh the genealogy prior
         lnp = gen_log_prior(gen, params, ctx)
@@ -106,6 +111,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                 gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
             acc_lr = acc_lr + a
             dvar = dvar + dv
+            # rate moves change edge lengths globally: rebuild the cache
+            cond = full_build(gen, seq)
 
     stats = full_stats(gen, params, ctx)
     if theta_on:
@@ -119,13 +126,13 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     else:
         acc_mr = jnp.zeros((), jnp.int32)
 
-    gen, params, grng, lnld, lnp, acc_taus, conflicts = update_taus(
-        gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
+    gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = update_taus(
+        gen, params, seq, grng, ctx, ft.taus, lnld, lnp, cond,
         num_pops, num_cur_pops)
     if any(sample_age_mask):
-        gen, params, grng, lnld, lnp, acc_sa, conf_sa = \
+        gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
             update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
-                               lnld, lnp, num_cur_pops,
+                               lnld, lnp, cond, num_cur_pops,
                                list(sample_age_mask))
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
@@ -138,8 +145,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
 
     if do_mixing and mixing_on:
         stats2 = full_stats(gen, params, ctx)
-        gen, params, grng, lnld, lnp, acc_mix = update_mixing(
-            gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, stats2,
+        gen, params, grng, lnld, lnp, cond, acc_mix = update_mixing(
+            gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats2,
             num_cur_pops)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
@@ -154,7 +161,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         tau_conflicts=conflicts,
         num_migs_total=nmig_total,
         lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
-    return gen, params, lrng, grng, lnld, lnp, out
+    return gen, params, lrng, grng, lnld, lnp, cond, out
 
 
 class ChunkTrace(NamedTuple):
@@ -177,7 +184,7 @@ class ChunkTrace(NamedTuple):
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
-               lnld, lnp, ft: Finetunes, *, ctx: Context, n_iters: int,
+               lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
                num_pops: int, num_cur_pops: int, sample_age_mask: tuple,
                coal_time_on: bool = True, mig_time_on: bool = True,
@@ -191,9 +198,9 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     per-iteration parameter values for trace emission."""
 
     def body(carry, _):
-        gen, params, lrng, grng, lnld, lnp = carry
-        gen, params, lrng, grng, lnld, lnp, st = mcmc_iteration(
-            gen, params, seq, lrng, grng, lnld, lnp, ft, ctx=ctx,
+        gen, params, lrng, grng, lnld, lnp, cond = carry
+        gen, params, lrng, grng, lnld, lnp, cond, st = mcmc_iteration(
+            gen, params, seq, lrng, grng, lnld, lnp, cond, ft, ctx=ctx,
             genetree_samples=genetree_samples, do_migrate=do_migrate,
             do_mixing=do_mixing, num_pops=num_pops,
             num_cur_pops=num_cur_pops, sample_age_mask=sample_age_mask,
@@ -207,12 +214,13 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                               mig_rate=params.mig_rate,
                               admix_coeff=params.admix_coeff,
                               lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum))
-        return (gen, params, lrng, grng, lnld, lnp), out
+        return (gen, params, lrng, grng, lnld, lnp, cond), out
 
-    (gen, params, lrng, grng, lnld, lnp), (stats_seq, trace) = jax.lax.scan(
-        body, (gen, params, lrng, grng, lnld, lnp), None, length=n_iters)
+    (gen, params, lrng, grng, lnld, lnp, cond), (stats_seq, trace) = \
+        jax.lax.scan(body, (gen, params, lrng, grng, lnld, lnp, cond),
+                     None, length=n_iters)
     totals = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), stats_seq)
-    return gen, params, lrng, grng, lnld, lnp, totals, trace
+    return gen, params, lrng, grng, lnld, lnp, cond, totals, trace
 
 
 @functools.partial(
@@ -222,7 +230,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on"))
-def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, ft, *,
+def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains
     axis (params/rng included); the sequence data and context are shared.
@@ -230,9 +238,9 @@ def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, ft, *,
     extra batch, giving R-hat-ready parallel chains nearly for free
     (the 'chains mesh axis' of SURVEY §2's parallelism table)."""
 
-    def one_chain(gen, params, lrng, grng, lnld, lnp):
+    def one_chain(gen, params, lrng, grng, lnld, lnp, cond):
         return mcmc_chunk.__wrapped__(
-            gen, params, seq, lrng, grng, lnld, lnp, ft, ctx=ctx,
+            gen, params, seq, lrng, grng, lnld, lnp, cond, ft, ctx=ctx,
             n_iters=n_iters, **static)
 
-    return jax.vmap(one_chain)(gen, params, lrng, grng, lnld, lnp)
+    return jax.vmap(one_chain)(gen, params, lrng, grng, lnld, lnp, cond)

@@ -60,6 +60,7 @@ def main():
 
     gen, params, seq = s.gen, s.params, s.seq
     lrng, grng, lnld, lnp, ctx, ft = s.lrng, s.grng, s.lnld, s.lnp, s.ctx, s.ft
+    cond = s.cond
 
     timeit("data_log_likelihood (1 pass)",
            jax.jit(data_log_likelihood), gen, seq)
@@ -69,13 +70,13 @@ def main():
            jax.jit(lambda g, p: full_stats(g, p, ctx)), gen, params)
     timeit("update_internal_node_ages",
            jax.jit(lambda *a: update_internal_node_ages(*a, ctx, ft.coal_time,
-                                                        lnld, lnp)),
+                                                        lnld, lnp, cond)),
            gen, params, seq, lrng)
     timeit("update_mig_ages",
            jax.jit(lambda *a: update_mig_ages(*a, ctx, ft.mig_time, lnp)),
            gen, params, lrng)
     timeit("update_spr",
-           jax.jit(lambda *a: update_spr(*a, ctx, lnld)),
+           jax.jit(lambda *a: update_spr(*a, ctx, lnld, cond)),
            gen, params, seq, lrng)
     stats = full_stats(gen, params, ctx)
     timeit("update_thetas",
@@ -86,13 +87,14 @@ def main():
                                                stats)),
            gen, params, grng)
     timeit("update_taus",
-           jax.jit(lambda *a: update_taus(*a, ctx, ft.taus, lnld, lnp,
+           jax.jit(lambda *a: update_taus(*a, ctx, ft.taus, lnld, lnp, cond,
                                           s.tree.num_pops,
                                           s.tree.num_cur_pops)),
            gen, params, seq, grng)
     timeit("update_mixing",
            jax.jit(lambda *a: update_mixing(*a, ctx, ft.mixing, lnld, lnp,
-                                            stats, s.tree.num_cur_pops)),
+                                            cond, stats,
+                                            s.tree.num_cur_pops)),
            gen, params, seq, grng)
 
 
