@@ -30,10 +30,39 @@ def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
     """Sweep over all populations (sequential, general stream).
 
     stats: current sufficient statistics (unchanged by this update).
-    Returns (params, rng_state, lnp, accepted_count)."""
+    Returns (params, rng_state, lnp, accepted_count).
+
+    The per-pop acceptance ratio depends only on that pop's own statistics
+    and theta, and the statistics are unchanged by theta moves — so the
+    sweep is exactly parallelizable across pops.  In fast-RNG mode all P
+    proposals evaluate in one vector step (identical math, different draw
+    order); the legacy path keeps the reference's sequential scan for
+    stream conformance (src/GPhoCS.c:3037-3106)."""
+    from gphocs_tpu.rng_fast import FastRngState
+
     P = ctx.num_pops
     ncoal_tot = jnp.sum(stats.num_coals, axis=0).astype(lnp.dtype)   # [P]
     coal_tot = jnp.sum(stats.coal_stats, axis=0)                     # [P]
+
+    if isinstance(rng_state, FastRngState):
+        from gphocs_tpu import rng_fast as RF
+
+        z, rng_state = RF.batch_2normal8(rng_state, P)
+        lnc = (finetune * z).astype(lnp.dtype)                       # [P]
+        theta_old = params.theta
+        theta_new = theta_old * jnp.exp(lnc)
+        dinv = 1.0 / theta_new - 1.0 / theta_old
+        lnacc = (lnc + lnc * (ctx.theta_alpha - 1.0)
+                 - (theta_new - theta_old) * ctx.theta_beta
+                 - (lnc * ncoal_tot + dinv * coal_tot))
+        u, rng_state = RF.batch_u(rng_state, P)
+        accept = (lnacc >= 0.0) | (u < jnp.exp(jnp.minimum(lnacc, 0.0)))
+        params = params._replace(
+            theta=jnp.where(accept, theta_new, theta_old))
+        dlnp = -(lnc[None, :] * stats.num_coals.astype(lnp.dtype)
+                 + dinv[None, :] * stats.coal_stats)
+        lnp = lnp + jnp.sum(jnp.where(accept[None, :], dlnp, 0.0), axis=1)
+        return params, rng_state, lnp, jnp.sum(accept.astype(jnp.int32))
 
     def body(carry, pop):
         params, rng_state, lnp, acc = carry
@@ -65,11 +94,35 @@ def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
 def update_mig_rates(gen: GenState, params: Params, rng_state, ctx: Context,
                      finetune, lnp: jnp.ndarray, stats: CoalStats):
     """Sweep over all migration bands (reference :3115-3212)."""
+    from gphocs_tpu.rng_fast import FastRngState
+
     B = ctx.num_bands
     if B == 0:
         return params, rng_state, lnp, jnp.zeros((), jnp.int32)
     nmig_tot = jnp.sum(stats.num_migs, axis=0).astype(lnp.dtype)  # [B]
     mig_tot = jnp.sum(stats.mig_stats, axis=0)                    # [B]
+
+    if isinstance(rng_state, FastRngState):
+        # exactly parallelizable across bands (per-band stats only; see
+        # update_thetas) — one vector step in fast-RNG mode
+        from gphocs_tpu import rng_fast as RF
+
+        z, rng_state = RF.batch_2normal8(rng_state, B)
+        lnc = (finetune * z).astype(lnp.dtype)                    # [B]
+        old = params.mig_rate
+        new = old * jnp.exp(lnc)
+        skip = new < MIN_MIG_RATE
+        lnacc = (lnc + lnc * (ctx.mig_alpha - 1.0)
+                 - (new - old) * ctx.mig_beta
+                 + lnc * nmig_tot - (new - old) * mig_tot)
+        u, rng_state = RF.batch_u(rng_state, B)
+        accept = ~skip & ((lnacc >= 0.0)
+                          | (u < jnp.exp(jnp.minimum(lnacc, 0.0))))
+        params = params._replace(mig_rate=jnp.where(accept, new, old))
+        dlnp = (lnc[None, :] * stats.num_migs.astype(lnp.dtype)
+                - (new - old)[None, :] * stats.mig_stats)
+        lnp = lnp + jnp.sum(jnp.where(accept[None, :], dlnp, 0.0), axis=1)
+        return params, rng_state, lnp, jnp.sum(accept.astype(jnp.int32))
 
     def body(carry, band):
         params, rng_state, lnp, acc = carry

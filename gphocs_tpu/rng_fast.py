@@ -101,3 +101,27 @@ def rndexp(state: FastRngState, mask, mean
            ) -> Tuple[jnp.ndarray, FastRngState]:
     u, state = rndu(state, mask)
     return -mean * jnp.log(u), state
+
+
+def _raw_u_batch(state: FastRngState, n: int, offset: int) -> jnp.ndarray:
+    """[n] uniforms from lane 0 at counter positions ctr+offset+0..n-1."""
+    c = state.ctr + jnp.uint32(offset) + jnp.arange(n, dtype=jnp.uint32)
+    x = _fmix32(state.key[0] ^ _fmix32(c * _GOLDEN))
+    dt = _real_dtype()
+    return (x.astype(dt) + 0.5) * (2.0 ** -32)
+
+
+def batch_u(state: FastRngState, n: int) -> Tuple[jnp.ndarray, FastRngState]:
+    """[n] U(0,1) draws from the (scalar) general stream in one step."""
+    return _raw_u_batch(state, n, 1), _bump(state, n)
+
+
+def batch_2normal8(state: FastRngState, n: int
+                   ) -> Tuple[jnp.ndarray, FastRngState]:
+    """[n] mixture-kernel draws from the general stream in one step."""
+    u1 = _raw_u_batch(state, n, 1)
+    u2 = _raw_u_batch(state, n, 1 + n)
+    u3 = _raw_u_batch(state, n, 1 + 2 * n)
+    nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    zval = _M2N + nrm * _S2N
+    return jnp.where(u3 < 0.5, zval, -zval), _bump(state, 3 * n)
