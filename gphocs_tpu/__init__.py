@@ -19,4 +19,14 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# Numerical contract: likelihoods and sufficient statistics flow through
+# one-hot einsum selections; on TPU the default matmul precision rounds the
+# non-one-hot operand to bfloat16 (measured ~2e-3 absolute error on pruning
+# conditionals, ~1e-1 on per-locus log-likelihoods).  The reference is f64
+# throughout — force full-precision dots.  This workload has no large
+# matmuls, so the cost is negligible.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from gphocs_tpu.constants import OLDAGE  # noqa: F401

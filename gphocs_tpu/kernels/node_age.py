@@ -35,7 +35,7 @@ from gphocs_tpu.kernels.common import (
     mh_accept,
 )
 from gphocs_tpu.ops.coalstats import node_age_move_delta
-from gphocs_tpu.ops.likelihood_cache import lnld_from_cond, make_tables, refresh
+from gphocs_tpu.ops.likelihood_cache import make_tables, refresh_and_lnld
 from gphocs_tpu.state import GenState, Params, SeqData
 from gphocs_tpu.utils import reflect
 
@@ -43,7 +43,7 @@ from gphocs_tpu.utils import reflect
 def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
                               rng_state, ctx: Context, finetune,
                               lnld: jnp.ndarray, lnp: jnp.ndarray,
-                              cond: jnp.ndarray):
+                              cond: jnp.ndarray, use_pallas: bool = False):
     """One full sweep over all internal nodes.
 
     lnld/lnp: current per-locus data log-likelihood and genealogy log-prior;
@@ -87,8 +87,8 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
 
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))
         dirty0 = jnp.zeros((N,), bool).at[inode].set(True)
-        cond_prop = refresh(cond, gen_prop, seq, dirty0, tables)
-        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+        cond_prop, lnld_prop = refresh_and_lnld(
+            cond, gen_prop, seq, dirty0, tables, use_pallas=use_pallas)
         dlnp = node_age_move_delta(gen, params, ctx, node_vec, tnew,
                                    bstart, bend)
         lnp_prop = lnp + dlnp

@@ -46,7 +46,7 @@ from jax import lax
 
 from gphocs_tpu import rng as R
 from gphocs_tpu.kernels.common import Context, band_windows, mh_accept
-from gphocs_tpu.ops.likelihood_cache import lnld_from_cond, make_tables, refresh
+from gphocs_tpu.ops.likelihood_cache import refresh_and_lnld
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -468,7 +468,8 @@ def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
 
 
 def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
-               ctx: Context, lnld: jnp.ndarray, cond: jnp.ndarray):
+               ctx: Context, lnld: jnp.ndarray, cond: jnp.ndarray,
+               use_pallas: bool = False):
     """One full SPR sweep over all nodes.  Returns
     (gen, rng_state, lnld, cond, accepted_count).  The genealogy log-prior
     must be recomputed by the caller afterwards."""
@@ -519,8 +520,8 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
         dirty0 = ((nid == f[:, None]) & (f >= 0)[:, None]) \
             | ((nid == g[:, None]) & (g >= 0)[:, None]) \
             | ((nid == tgt_fa[:, None]) & (tgt_fa >= 0)[:, None] & ok[:, None])
-        cond_prop = refresh(cond, gen_prop, seq, dirty0, make_tables(gen_prop))
-        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+        cond_prop, lnld_prop = refresh_and_lnld(
+            cond, gen_prop, seq, dirty0, use_pallas=use_pallas)
         lnacc = lnld_prop - lnld
         accept, rng_state = mh_accept(rng_state, lnacc, ok)
         gen = jax.tree_util.tree_map(

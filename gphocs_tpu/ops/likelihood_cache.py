@@ -172,3 +172,22 @@ def lnld_from_cond(cond: jnp.ndarray, gen: GenState, seq: SeqData
 def data_log_likelihood_cached(gen: GenState, seq: SeqData) -> jnp.ndarray:
     """One-shot twin of ops.pruning.data_log_likelihood (build + reduce)."""
     return lnld_from_cond(full_build(gen, seq), gen, seq)
+
+
+def refresh_and_lnld(cond, gen: GenState, seq: SeqData, dirty0,
+                     tables: TopoTables | None = None,
+                     use_pallas: bool = False):
+    """Dirty refresh + root reduce; optionally via the fused Pallas TPU
+    kernel (ops/refresh_pallas.py — f32 only, single-device layouts).
+
+    The XLA path uses one-hot einsum selections; these REQUIRE full matmul
+    precision (set package-wide in gphocs_tpu/__init__.py) — the TPU
+    default rounds the conditionals through bfloat16 (measured ~2e-3
+    absolute error, vs ~1e-7 for exact-f32 selection).
+    """
+    if use_pallas and cond.dtype == jnp.float32:
+        from gphocs_tpu.ops.refresh_pallas import refresh_lnld_pallas
+
+        return refresh_lnld_pallas(cond, gen, seq, dirty0)
+    cond = refresh(cond, gen, seq, dirty0, tables)
+    return cond, lnld_from_cond(cond, gen, seq)

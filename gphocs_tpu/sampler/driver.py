@@ -120,6 +120,15 @@ class Sampler:
         self.chains = chains
         assert rng_mode in ("legacy", "fast")
         self.rng_mode = rng_mode
+        # fused Pallas refresh kernel (ops/refresh_pallas.py): opt-in via
+        # GPHOCS_PALLAS=1 — numerically verified against the XLA refresh,
+        # but measured slightly slower in-chunk on v5e at sample-scale
+        # shapes (the per-call layout round-trip eats the in-kernel win);
+        # groundwork for whole-sweep fusion.  Single-TPU f32 runs only.
+        self.use_pallas = bool(
+            jax.default_backend() == "tpu" and mesh is None
+            and jnp.zeros((), dtype).dtype == jnp.float32
+            and os.environ.get("GPHOCS_PALLAS"))
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -365,6 +374,7 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
+            use_pallas=self.use_pallas,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))
@@ -395,6 +405,7 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
+            use_pallas=self.use_pallas and self.chains == 1,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))

@@ -70,7 +70,8 @@ class StepStats(NamedTuple):
                      "num_pops", "num_cur_pops", "sample_age_mask",
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
-                     "locus_rate_on", "var_alpha", "admix_on"))
+                     "locus_rate_on", "var_alpha", "admix_on",
+                     "use_pallas"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -80,7 +81,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    theta_on: bool = True, mig_rate_on: bool = True,
                    mixing_on: bool = True, var_rates: bool = False,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
-                   admix_on: bool = True):
+                   admix_on: bool = True, use_pallas: bool = False):
     """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
 
     cond: carried pruning conditionals, consistent with (gen, seq) on
@@ -95,14 +96,16 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     for _ in range(genetree_samples):
         if coal_time_on:
             gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
-                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp, cond)
+                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp, cond,
+                use_pallas=use_pallas)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
             gen, lrng, lnp, a = update_mig_ages(
                 gen, params, lrng, ctx, ft.mig_time, lnp)
             acc_mt = acc_mt + a
         gen, lrng, lnld, cond, a = update_spr(
-            gen, params, seq, lrng, ctx, lnld, cond)
+            gen, params, seq, lrng, ctx, lnld, cond,
+            use_pallas=use_pallas)
         acc_spr = acc_spr + a
         # SPR tracks only the data likelihood; refresh the genealogy prior
         lnp = gen_log_prior(gen, params, ctx)
@@ -182,7 +185,8 @@ class ChunkTrace(NamedTuple):
                      "do_mixing", "num_pops", "num_cur_pops",
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
-                     "locus_rate_on", "var_alpha", "admix_on"))
+                     "locus_rate_on", "var_alpha", "admix_on",
+                     "use_pallas"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -191,7 +195,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                theta_on: bool = True, mig_rate_on: bool = True,
                mixing_on: bool = True, var_rates: bool = False,
                locus_rate_on: bool = True, var_alpha: float = 1.0,
-               admix_on: bool = True):
+               admix_on: bool = True, use_pallas: bool = False):
     """Run n_iters full iterations in one compiled call (amortizes host
     dispatch; essential on TPU where per-call latency dwarfs compute for
     small models).  Returns accumulated StepStats and a ChunkTrace with
@@ -208,7 +212,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             theta_on=theta_on, mig_rate_on=mig_rate_on,
             mixing_on=mixing_on, var_rates=var_rates,
             locus_rate_on=locus_rate_on, var_alpha=var_alpha,
-            admix_on=admix_on)
+            admix_on=admix_on, use_pallas=use_pallas)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
@@ -229,7 +233,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "do_mixing", "num_pops", "num_cur_pops",
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
-                     "locus_rate_on", "var_alpha", "admix_on"))
+                     "locus_rate_on", "var_alpha", "admix_on",
+                     "use_pallas"))
 def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains

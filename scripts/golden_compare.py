@@ -103,11 +103,12 @@ MIG-BANDS-END
 """
 
 
-def main():
-    binary = sys.argv[1]
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
-    n_chains = int(os.environ.get("GC_CHAINS", "6"))
-    burnin = int(os.environ.get("GC_BURNIN", "1000"))
+def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
+                   nl=100, boost=8.0, jax_chains=None, verbose=True):
+    """Build/run pooled C and gphocs_tpu chains on the same simulated data;
+    returns a list of per-parameter dicts with means, stds and the
+    between-chain z score.  The committed conformance gate
+    (tests/test_golden.py) asserts on these."""
     work = tempfile.mkdtemp(prefix="golden_")
     seq = os.path.join(work, "seqs.txt")
 
@@ -115,19 +116,18 @@ def main():
                                     burnin=burnin, seed=1357)
     cfg = parse_control_text(ctl_text0)
     tree = build_poptree(cfg)
-    nl = int(os.environ.get("GC_LOCI", "100"))
     # simulate from a higher-diversity parameter set so the data actually
     # identifies the parameters (the priors stay as configured)
     from gphocs_tpu.rng_host import HostRng
     from gphocs_tpu.sampler.init import sample_pop_parameters
     _rng = HostRng(nl + 1, 77)
     tp = sample_pop_parameters(tree, _rng)
-    boost = float(os.environ.get("GC_BOOST", "8"))
     tp = tp._replace(theta=tp.theta * boost, tau=tp.tau * boost)
     true_params = simulate_seq_file(cfg, tree, seq, num_loci=nl,
                                     seq_len=1000, seed=77, params=tp)
-    print("true theta:", np.round(true_params.theta, 6))
-    print("true tau:  ", np.round(true_params.tau, 6))
+    if verbose:
+        print("true theta:", np.round(true_params.theta, 6))
+        print("true tau:  ", np.round(true_params.tau, 6))
 
     # pool several independent short chains per implementation: the C
     # reference's incremental event chains corrupt on long runs with this
@@ -141,7 +141,8 @@ def main():
         with open(ctl_c, "w") as f:
             f.write(CTL_TEMPLATE.format(seq=seq, trace=trace_c, iters=iters,
                                         burnin=burnin, seed=1357 + 17 * ch))
-        print(f"running C chain {ch} ...")
+        if verbose:
+            print(f"running C chain {ch} ...")
         res = subprocess.run([binary, ctl_c], capture_output=True, text=True,
                              cwd=work, timeout=7200)
         if res.returncode != 0:
@@ -156,8 +157,9 @@ def main():
 
     keep_j = []
     chain_means_j = []
-    for ch in range(max(n_chains // 2, 2)):
-        print(f"running gphocs_tpu chain {ch} ...")
+    for ch in range(jax_chains or max(n_chains // 2, 2)):
+        if verbose:
+            print(f"running gphocs_tpu chain {ch} ...")
         cfg.mcmc.random_seed = 1357 + 17 * ch
         s = Sampler(cfg, seq_path=seq)
         cols_j, rows_j = s.run()
@@ -168,8 +170,7 @@ def main():
     chain_means_j = np.asarray(chain_means_j)
 
 
-    print(f"{'param':<14} {'C mean':>12} {'jax mean':>12} {'C std':>10} "
-          f"{'jax std':>10} {'z':>7}")
+    results = []
     for k in range(1, len(cols_c)):
         name = cols_c[k]
         mc, sc = keep_c[:, k].mean(), keep_c[:, k].std()
@@ -179,9 +180,30 @@ def main():
         se_j = chain_means_j[:, k].std(ddof=1) / np.sqrt(len(chain_means_j))
         se = np.sqrt(se_c**2 + se_j**2) + 1e-12
         z = (mc - mj) / se
-        print(f"{name:<14} {mc:12.5f} {mj:12.5f} {sc:10.5f} {sj:10.5f} "
-              f"{z:7.2f}")
-    print("workdir:", work)
+        results.append(dict(param=name, c_mean=float(mc), jax_mean=float(mj),
+                            c_std=float(sc), jax_std=float(sj),
+                            se=float(se), z=float(z)))
+    if verbose:
+        print(f"{'param':<14} {'C mean':>12} {'jax mean':>12} {'C std':>10} "
+              f"{'jax std':>10} {'z':>7}")
+        for r in results:
+            print(f"{r['param']:<14} {r['c_mean']:12.5f} "
+                  f"{r['jax_mean']:12.5f} {r['c_std']:10.5f} "
+                  f"{r['jax_std']:10.5f} {r['z']:7.2f}")
+        print("workdir:", work)
+    return dict(results=results, workdir=work, iters=iters,
+                n_chains_c=len(chain_means_c),
+                n_chains_jax=len(chain_means_j), num_loci=nl)
+
+
+def main():
+    binary = sys.argv[1]
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
+    run_comparison(binary, iters=iters,
+                   n_chains=int(os.environ.get("GC_CHAINS", "6")),
+                   burnin=int(os.environ.get("GC_BURNIN", "1000")),
+                   nl=int(os.environ.get("GC_LOCI", "100")),
+                   boost=float(os.environ.get("GC_BOOST", "8")))
 
 
 if __name__ == "__main__":
