@@ -43,9 +43,12 @@ class Segments(NamedTuple):
 
 
 # Sufficient-statistics algorithm switch: the argsorted sweep is
-# asymptotically better (O(NSEG log NSEG)) but TPU sorts are slow; the
-# pairwise-overlap reduction wins on the hardware at practical sizes.
+# asymptotically better (O(NSEG log NSEG) compute, O(L*P*NSEG) memory);
+# the pairwise-overlap reduction is sort-free but materializes an
+# [L, P, NSEG, NSEG] tensor — at 10K+ loci that is tens of GB and crashes
+# the chip.  Pairwise wins below this locus threshold, sweep above.
 SWEEP_STATS = False
+PAIRWISE_MAX_LOCI = 2048
 
 
 class CoalStats(NamedTuple):
@@ -156,7 +159,7 @@ def sufficient_stats(gen: GenState, params: Params,
     present = (segs.valid[:, None, :]
                & anc[:, segs.base_pop].transpose(1, 0, 2)
                & (hi > lo))
-    if SWEEP_STATS:
+    if SWEEP_STATS or gen.num_loci > PAIRWISE_MAX_LOCI:
         coal, _ = _sweep_integrals(lo, hi, present)
     else:
         # pairwise-overlap form: O(NSEG^2) flops but sort-free — on TPU the

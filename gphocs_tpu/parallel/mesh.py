@@ -62,8 +62,10 @@ def shard_sampler_state(mesh: Mesh, gen, seq, lrng, lnld, lnp,
     """Place the per-locus state sharded over 'loci', the rest replicated.
 
     Returns the same tuple with device placements applied.  L must be a
-    multiple of the mesh size (pad loci to a multiple when building state;
-    SeqData padding columns are inert by construction).
+    multiple of the mesh size — the Sampler constructor pads the loci axis
+    with inert padding loci (valid=False, zero pattern counts) before
+    sharding, so their likelihood is 0 and they are masked out of the
+    sufficient statistics (ops/coalstats.py gates on gen.valid).
     """
     sh = loci_sharding(mesh)
     rep = replicated(mesh)
@@ -78,17 +80,3 @@ def shard_sampler_state(mesh: Mesh, gen, seq, lrng, lnld, lnp,
     if grng is not None:
         out.append(jax.device_put(grng, rep))
     return tuple(out)
-
-
-def pad_loci(arrs_gen, arrs_seq, lnld, lnp, lrng, multiple: int):
-    """Pad the loci axis to a multiple of the mesh size.
-
-    Padded loci get a valid (copied) genealogy but zero pattern counts, so
-    their data likelihood is 0 and parameter updates see their (real)
-    genealogy prior.  To keep padded loci from influencing global stats
-    they replicate locus 0's state; their contributions are subtracted is
-    NOT attempted — instead callers should prefer exact-multiple locus
-    counts.  (Benchmarks use exact multiples; the CLI warns otherwise.)
-    """
-    raise NotImplementedError(
-        "pad loci to an exact multiple of the device count upstream")
