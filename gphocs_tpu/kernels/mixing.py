@@ -22,8 +22,7 @@ from gphocs_tpu import rng as R
 from gphocs_tpu.kernels.common import Context, scalar_mh_accept
 from gphocs_tpu.ops.coalstats import CoalStats
 from gphocs_tpu.ops.likelihood_cache import (
-    full_build,
-    lnld_from_cond,
+    full_rebuild_and_lnld,
     make_tables,
 )
 from gphocs_tpu.state import GenState, Params, SeqData
@@ -31,7 +30,7 @@ from gphocs_tpu.state import GenState, Params, SeqData
 
 def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
                   ctx: Context, finetune, lnld, lnp, cond, stats: CoalStats,
-                  num_cur_pops: int):
+                  num_cur_pops: int, use_pallas: bool = False):
     """Returns (gen, params, rng_state, lnld, lnp, cond, accepted)."""
     z, rng_state = R.general_draw_2normal8(rng_state)
     lnc = (finetune * z).astype(lnld.dtype)
@@ -72,8 +71,8 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
     gen_prop = gen._replace(age=gen.age * c, mig_age=gen.mig_age * c)
     params_prop = params._replace(theta=th_new, tau=tau_new,
                                   sample_age=sa_new, mig_rate=m_new)
-    cond_prop = full_build(gen_prop, seq, make_tables(gen))
-    lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+    cond_prop, lnld_prop = full_rebuild_and_lnld(
+        gen_prop, seq, make_tables(gen), use_pallas=use_pallas)
     data_delta = jnp.sum(lnld_prop - lnld)
     lnacc = lnacc + gen_delta + data_delta
 

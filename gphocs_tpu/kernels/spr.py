@@ -104,12 +104,13 @@ def _covering_mask(gen: GenState, ctx: Context, t: jnp.ndarray,
     alive = (gen.age <= t[:, None]) & (t[:, None] < top)
     alive = alive & (jnp.arange(N)[None, :] != exclude[:, None])
     traj = _branch_pop_at(gen, ctx, t)
-    # is_ancestral[pop[l], traj[l, n]] as one-hot contractions
-    anc_rows = jnp.einsum("lp,pq->lq", _onehot(pop, P, gen.age.dtype),
-                          ctx.is_ancestral.astype(gen.age.dtype))  # [L, P]
-    toh = (traj[:, :, None] == jnp.arange(P)[None, None, :])       # [L, N, P]
-    inpop = jnp.einsum("lnp,lp->ln", toh.astype(gen.age.dtype),
-                       anc_rows) > 0.5
+    # is_ancestral[pop[l], traj[l, n]]: row-select then per-pop mask-reduce
+    anc_rows = jnp.sum(
+        jnp.where(_onehot(pop, P, bool)[:, :, None], ctx.is_ancestral[None],
+                  False), axis=1)                                  # [L, P]
+    inpop = jnp.zeros(traj.shape, bool)
+    for q in range(P):
+        inpop = inpop | ((traj == q) & anc_rows[:, q:q + 1])
     return alive & inpop
 
 
@@ -205,12 +206,16 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
                                      big), axis=2)
         branch_oh = ((gen.mig_branch[:, :, None]
                       == jnp.arange(N)[None, None, :]) & act[:, :, None]
-                     ).astype(dt)                                  # [L, M, N]
-        branch_top_m = jnp.einsum("lmn,ln->lm", branch_oh, top_all)
+                     )                                             # [L, M, N]
+        # batched per-locus contractions are expressed as masked reduces:
+        # batched tiny dots serialize on the MXU and scale linearly with L
+        branch_top_m = jnp.sum(
+            jnp.where(branch_oh, top_all[:, None, :],
+                      jnp.zeros((), dt)), axis=2)
         win_hi = jnp.minimum(next_age, branch_top_m)             # [L, M]
         src_pop_m = ctx.band_source[jnp.where(act, gen.mig_band, 0)]
-        branch_pop_m = jnp.einsum("lmn,ln->lm", branch_oh,
-                                  gen.node_pop.astype(dt)).astype(jnp.int32)
+        branch_pop_m = jnp.sum(
+            jnp.where(branch_oh, gen.node_pop[:, None, :], 0), axis=2)
 
     # ---- static per-node-step tables over the segment grid ----
     # The candidate boundary set is state-independent during the walk, so
@@ -229,22 +234,27 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
     # each active migration slot m retargets its branch's contribution from
     # prev_pop[m] to the band source while mid is in [age_m, win_hi_m).
     K0 = mids0.shape[1]
-    np_onehot = (gen.node_pop[:, :, None] ==
-                 jnp.arange(P)[None, None, :]).astype(dt)        # [L,N,P]
-    n_by_base = jnp.einsum("lkn,lnp->lkp", alive0.astype(dt), np_onehot)
+    # n_by_base[l,k,q]: per-locus counts — loop the small pop axis instead
+    # of a batched matmul (see note above)
+    n_by_base = jnp.stack(
+        [jnp.sum(alive0 & (gen.node_pop == q)[:, None, :], axis=2)
+         for q in range(P)], axis=2).astype(dt)                  # [L,K,P]
     if Bn > 0:
         in_win = (act[:, None, :]
                   & (gen.mig_age[:, None, :] <= mids0[:, :, None])
                   & (mids0[:, :, None] < win_hi[:, None, :]))    # [L,K,M]
-        branch_alive = jnp.einsum("lkn,lmn->lkm", alive0.astype(dt),
-                                  branch_oh) > 0.5
-        w = (in_win & branch_alive).astype(dt)                   # [L,K,M]
-        src_onehot = (src_pop_m[:, :, None] ==
-                      jnp.arange(P)[None, None, :]).astype(dt)   # [L,M,P]
-        bp_onehot = (branch_pop_m[:, :, None] ==
-                     jnp.arange(P)[None, None, :]).astype(dt)
-        n_by_base = n_by_base + jnp.einsum(
-            "lkm,lmp->lkp", w, src_onehot - bp_onehot)
+        # branch_alive[l,k,m] = alive0[l,k,branch(m)]
+        branch_alive = jnp.stack(
+            [jnp.sum(jnp.where(branch_oh[:, m][:, None, :], alive0, False),
+                     axis=2) > 0
+             for m in range(M)], axis=2)                          # [L,K,M]
+        w = in_win & branch_alive                                 # [L,K,M]
+        corr = jnp.stack(
+            [jnp.sum((w & (src_pop_m == q)[:, None, :]).astype(dt)
+                     - (w & (branch_pop_m == q)[:, None, :]).astype(dt),
+                     axis=2)
+             for q in range(P)], axis=2)
+        n_by_base = n_by_base + corr
     n_all = jnp.einsum("lkq,pq->lkp", n_by_base,
                        ctx.is_ancestral.astype(dt))              # [L,K,P]
     inwin0 = ((params.tau[None, None, :] <= mids0[:, :, None])

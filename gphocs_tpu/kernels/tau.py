@@ -45,8 +45,7 @@ from gphocs_tpu.kernels.common import (
     scalar_mh_accept,
 )
 from gphocs_tpu.ops.likelihood_cache import (
-    full_build,
-    lnld_from_cond,
+    full_rebuild_and_lnld,
     make_tables,
 )
 from gphocs_tpu.state import GenState, Params, SeqData
@@ -78,7 +77,7 @@ def _mig_neighbor_ages(gen: GenState):
 def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
                           ctx: Context, pop: int, is_sample_age: bool,
                           taub0, taub1, tauold, taunew,
-                          lnld, lnp, tables):
+                          lnld, lnp, tables, use_pallas=False):
     """Shared core: build the remapped state, count Jacobian terms, detect
     conflicts, and compute the likelihood deltas.
 
@@ -149,8 +148,8 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
             params_prop = params._replace(
                 tau=params.tau.at[pop].set(taunew))
         gen_prop = gen._replace(age=new_age)
-        cond_prop = full_build(gen_prop, seq, tables)
-        lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+        cond_prop, lnld_prop = full_rebuild_and_lnld(
+            gen_prop, seq, tables, use_pallas=use_pallas)
         lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
         lnf0 = jnp.log(f0)
         lnf1 = jnp.log(f1) if not is_root else jnp.log(f0)
@@ -246,8 +245,8 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
 
     gen_prop = gen._replace(age=new_age,
                             mig_age=jnp.where(active, new_mage, gen.mig_age))
-    cond_prop = full_build(gen_prop, seq, tables)
-    lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+    cond_prop, lnld_prop = full_rebuild_and_lnld(
+        gen_prop, seq, tables, use_pallas=use_pallas)
     lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
 
     lnf0 = jnp.log(f0)
@@ -262,7 +261,7 @@ def _select(cond, new, old):
 
 def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                 ctx: Context, finetunes_taus, lnld, lnp, cond,
-                num_pops: int, num_cur_pops: int):
+                num_pops: int, num_cur_pops: int, use_pallas: bool = False):
     """Sweep over ancestral pops (reference UpdateTau).
 
     finetunes_taus: [P] per-pop step sizes.  Returns
@@ -300,7 +299,7 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
          lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, False,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
-                                  tables)
+                                  tables, use_pallas)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
@@ -322,7 +321,8 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
 
 def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
                        ctx: Context, finetunes_taus, lnld, lnp, cond,
-                       num_cur_pops: int, update_mask):
+                       num_cur_pops: int, update_mask,
+                       use_pallas: bool = False):
     """Sweep over current pops with estimated sample ages
     (reference UpdateSampleAge).  update_mask: python list of bools."""
     P = params.tau.shape[0]
@@ -343,7 +343,7 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
          lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, True,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
-                                  tables)
+                                  tables, use_pallas)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gphocs_tpu.constants import OLDAGE
 from gphocs_tpu.state import GenState, Params
@@ -42,13 +43,37 @@ class Segments(NamedTuple):
     valid: jnp.ndarray     # [L, NSEG] bool
 
 
-# Sufficient-statistics algorithm switch: the argsorted sweep is
-# asymptotically better (O(NSEG log NSEG) compute, O(L*P*NSEG) memory);
-# the pairwise-overlap reduction is sort-free but materializes an
-# [L, P, NSEG, NSEG] tensor — at 10K+ loci that is tens of GB and crashes
-# the chip.  Pairwise wins below this locus threshold, sweep above.
+# Sufficient-statistics algorithm forms (all exact):
+#   * pairwise: one [L, P, NSEG, NSEG] broadcast — fastest at small L but
+#     tens of GB at 10K+ loci (crashed the chip in the round-2 sweep);
+#   * sweep: argsorted endpoint sweep — linear memory but TPU bitonic
+#     sorts cost ~25x the pairwise time at 4K loci;
+#   * scan: NSEG sequential steps, each overlapping ONE segment against
+#     all others in [L, P, NSEG] — sort-free AND linear memory; default.
 SWEEP_STATS = False
 PAIRWISE_MAX_LOCI = 2048
+
+
+def _coal_scan_overlaps(lo, hi, present):
+    """sum_{s != s'} |I_s ^ I_s'| via a fori over segments.
+
+    lo/hi/present: [L, P, NSEG] clipped per-pop intervals.  Masked
+    segments collapse to [0, 0], whose overlap with anything is <= 0.
+    """
+    lo_m = jnp.where(present, lo, 0.0)
+    hi_m = jnp.where(present, jnp.maximum(hi, lo), 0.0)
+    nseg = lo.shape[-1]
+
+    def body(s_, acc):
+        los = lax.dynamic_slice_in_dim(lo_m, s_, 1, axis=2)   # [L, P, 1]
+        his = lax.dynamic_slice_in_dim(hi_m, s_, 1, axis=2)
+        ov = jnp.maximum(
+            jnp.minimum(hi_m, his) - jnp.maximum(lo_m, los), 0.0)
+        return acc + jnp.sum(ov, axis=-1)
+
+    total = lax.fori_loop(0, nseg, body, jnp.zeros(lo.shape[:-1], lo.dtype))
+    # the diagonal (s == s') contributed each segment's own length
+    return total - jnp.sum(hi_m - lo_m, axis=-1)
 
 
 class CoalStats(NamedTuple):
@@ -159,9 +184,9 @@ def sufficient_stats(gen: GenState, params: Params,
     present = (segs.valid[:, None, :]
                & anc[:, segs.base_pop].transpose(1, 0, 2)
                & (hi > lo))
-    if SWEEP_STATS or gen.num_loci > PAIRWISE_MAX_LOCI:
+    if SWEEP_STATS:
         coal, _ = _sweep_integrals(lo, hi, present)
-    else:
+    elif gen.num_loci <= PAIRWISE_MAX_LOCI:
         # pairwise-overlap form: O(NSEG^2) flops but sort-free — on TPU the
         # elementwise/reduce pipeline beats the bitonic sort convincingly
         lo_m = jnp.where(present, lo, 0.0)
@@ -172,6 +197,8 @@ def sufficient_stats(gen: GenState, params: Params,
         pair = pair * (present[:, :, :, None] & present[:, :, None, :])
         length = jnp.maximum(hi_m - lo_m, 0.0)
         coal = jnp.sum(pair, axis=(2, 3)) - jnp.sum(length, axis=2)
+    else:
+        coal = _coal_scan_overlaps(lo, hi, present)
 
     # migration stats: lineage-time of the band's target pop inside the window
     B = band_source.shape[0]

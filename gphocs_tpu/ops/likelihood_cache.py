@@ -174,6 +174,25 @@ def data_log_likelihood_cached(gen: GenState, seq: SeqData) -> jnp.ndarray:
     return lnld_from_cond(full_build(gen, seq), gen, seq)
 
 
+def full_rebuild_and_lnld(gen: GenState, seq: SeqData,
+                          tables: TopoTables | None = None,
+                          use_pallas: bool = False):
+    """Leaf init + full bottom-up rebuild (+ root reduce), optionally via
+    the fused Pallas kernel (all internal nodes marked dirty resolve in
+    exactly S-1 frontier trips)."""
+    if use_pallas:
+        L, N = gen.father.shape
+        S = (N + 1) // 2
+        dt = gen.age.dtype
+        leaf = leaf_conditionals(seq.leaf_base, dt)
+        cond = jnp.zeros((L, N) + leaf.shape[2:], dt).at[:, :S].set(leaf)
+        return refresh_and_lnld(cond, gen, seq,
+                                jnp.ones((N,), bool), tables,
+                                use_pallas=True)
+    cond = full_build(gen, seq, tables)
+    return cond, lnld_from_cond(cond, gen, seq)
+
+
 def refresh_and_lnld(cond, gen: GenState, seq: SeqData, dirty0,
                      tables: TopoTables | None = None,
                      use_pallas: bool = False):

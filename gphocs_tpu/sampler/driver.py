@@ -120,11 +120,14 @@ class Sampler:
         self.chains = chains
         assert rng_mode in ("legacy", "fast")
         self.rng_mode = rng_mode
-        # fused Pallas refresh kernel (ops/refresh_pallas.py): opt-in via
-        # GPHOCS_PALLAS=1 — numerically verified against the XLA refresh,
-        # but measured slightly slower in-chunk on v5e at sample-scale
-        # shapes (the per-call layout round-trip eats the in-kernel win);
-        # groundwork for whole-sweep fusion.  Single-TPU f32 runs only.
+        # fused Pallas dirty-refresh kernel (ops/refresh_pallas.py):
+        # opt-in (GPHOCS_PALLAS=1), single-TPU f32 only.  Verified
+        # numerically identical to the XLA refresh; in isolated sweep
+        # timings it wins (2.4x-5.8x vs a low-traffic XLA variant at 10K
+        # loci) but end-to-end chunks measure slower than the einsum
+        # frontier refresh (per-call dispatch + layout round-trips inside
+        # the iteration scan).  Kept as groundwork for whole-sweep fusion
+        # where those per-call costs amortize.
         self.use_pallas = bool(
             jax.default_backend() == "tpu" and mesh is None
             and jnp.zeros((), dtype).dtype == jnp.float32
@@ -411,16 +414,58 @@ class Sampler:
                                / max(self.chains, 1))
         return stats, trace
 
+    def _log_header(self):
+        """Reference stdout header (src/GPhoCS.c:1357-1374)."""
+        tree = self.tree
+        cols = ["Samples", "CoalTimes", "MigTimes", "SPRs", "Thetas",
+                "MigRates"]
+        if len(tree.admix_slot):
+            cols.append("AdmxCoefs")
+        for pop in range(tree.num_pops):
+            if (pop >= tree.num_cur_pops
+                    or tree.update_sample_age[pop]):
+                cols.append(f"TAU_{pop:2d}")
+        cols += ["RbberBnd", "MutRates", "Mixing"]
+        line = "".join(f"{c:<10}" for c in cols)
+        return line + "| DATA-ln-ld |  TIME\n" + "-" * (len(line) + 25)
+
+    def _log_line(self, iteration, pct, lnld_avg, elapsed):
+        """Reference per-log acceptance row (src/GPhoCS.c:1823-1895)."""
+        tree = self.tree
+        parts = [f"{iteration + 1:7d}  "]
+        for key in ("coal_time", "mig_time", "spr", "theta", "mig_rate"):
+            parts.append(f"{pct[key]:5.1f}%    ")
+        if len(tree.admix_slot):
+            parts.append(f"{pct.get('admix', 0.0):5.1f}%    ")
+        for pop in range(tree.num_pops):
+            if (pop >= tree.num_cur_pops
+                    or tree.update_sample_age[pop]):
+                parts.append(f"{pct['taus'][pop]:5.1f}%    ")
+        parts.append(f"{pct.get('rubberband', 0.0):6.1f}%    ")
+        parts.append(f"{pct.get('locus_rate', 0.0):5.1f}%    ")
+        parts.append(f"{pct['mixing']:5.1f}%    ")
+        h, rem = divmod(int(elapsed), 3600)
+        m, sec = divmod(rem, 60)
+        parts.append(f"|{lnld_avg:12.6f}| {h:02d}:{m:02d}:{sec:02d}")
+        return "".join(parts)
+
     def run(self, trace_path: Optional[str] = None,
             progress: bool = False,
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0,
-            resume: bool = False):
+            resume: bool = False,
+            debug_check: bool = False):
         """Full MCMC per the control file.  Returns the trace as
         (header_cols, numpy array).
 
         checkpoint_path/_every: periodically serialize the full sampler
-        state; resume=True restores it and continues bit-identically."""
+        state; resume=True restores it and continues bit-identically.
+        progress=True prints the reference-format acceptance log
+        (header + one row per iterations-per-log block,
+        src/GPhoCS.c:1357-1895).  debug_check=True runs the checkAll
+        analogue (structural + carried-likelihood invariants,
+        gphocs_tpu/debugcheck.py) at every log point, mirroring the
+        reference's per-log checkAll() gate (src/GPhoCS.c:1814-1821)."""
         cfg = self.cfg
         self.initialize()
         resume_iteration = None
@@ -459,6 +504,8 @@ class Sampler:
         spl = (cfg.mcmc.find_finetunes_samples_per_step if finding
                else cfg.mcmc.iterations_per_log)
         t0 = time.time()
+        if progress:
+            print(self._log_header(), file=sys.stderr)
 
         it_start = -cfg.mcmc.burn_in
         iteration = it_start
@@ -530,13 +577,22 @@ class Sampler:
                 pct = self._percents(counts, log_count, total_coals,
                                      mig_nodes_accum)
                 if progress:
-                    el = time.time() - t0
-                    print(f"{iteration:7d} "
-                          f"ct {pct['coal_time']:5.1f}% "
-                          f"spr {pct['spr']:5.1f}% "
-                          f"th {pct['theta']:5.1f}% "
-                          f"lnL {float(tr_np.lnld_sum[-1]) + float(tr_np.lnp_sum[-1]):.3f}"
-                          f" {el:6.1f}s", file=sys.stderr)
+                    lnld_avg = (float(tr_np.lnld_sum[-1])
+                                + float(tr_np.lnp_sum[-1])) / L
+                    print(self._log_line(iteration - 1, pct, lnld_avg,
+                                         time.time() - t0),
+                          file=sys.stderr)
+                if debug_check:
+                    # checkAll-analogue gate (reference src/GPhoCS.c:1814)
+                    from gphocs_tpu.debugcheck import (check_gen_state,
+                                                       check_likelihoods)
+
+                    errs = check_gen_state(self.gen, self.params, self.tree)
+                    errs += check_likelihoods(self)
+                    if errs:
+                        raise AssertionError(
+                            "state inconsistency at iteration "
+                            f"{iteration}: " + "; ".join(errs[:10]))
                 if finding:
                     self._adjust_finetunes(pct)
                     if (iteration >= cfg.mcmc.find_finetunes_num_steps
@@ -577,6 +633,7 @@ class Sampler:
         P = self.tree.num_pops
         B = self.tree.num_bands
         lc = max(log_count, 1)
+        n_anc = max(self.tree.num_pops - self.tree.num_cur_pops, 1)
         return {
             "coal_time": c.coal_time * 100.0 / (lc * total_coals * gts),
             "mig_time": c.mig_time * 100.0 / (mig_nodes_accum + 1e-6),
@@ -585,6 +642,8 @@ class Sampler:
             "mig_rate": c.mig_rate * 100.0 / (lc * B + 1e-6),
             "taus": c.taus * 100.0 / lc,
             "mixing": c.mixing * 100.0 / lc,
+            "rubberband": c.conflicts * 100.0 / (lc * n_anc),
+            "locus_rate": 0.0,
         }
 
     def _adjust_finetunes(self, pct):

@@ -131,12 +131,12 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
 
     gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = update_taus(
         gen, params, seq, grng, ctx, ft.taus, lnld, lnp, cond,
-        num_pops, num_cur_pops)
+        num_pops, num_cur_pops, use_pallas=use_pallas)
     if any(sample_age_mask):
         gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
             update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
                                lnld, lnp, cond, num_cur_pops,
-                               list(sample_age_mask))
+                               list(sample_age_mask), use_pallas=use_pallas)
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
 
@@ -150,7 +150,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         stats2 = full_stats(gen, params, ctx)
         gen, params, grng, lnld, lnp, cond, acc_mix = update_mixing(
             gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats2,
-            num_cur_pops)
+            num_cur_pops, use_pallas=use_pallas)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
 
