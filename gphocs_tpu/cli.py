@@ -29,6 +29,22 @@ def main(argv=None):
     ap.add_argument("--production-rng", action="store_true",
                     help="use de-correlated per-locus RNG streams instead "
                          "of the reference-compatible identical seeding")
+    ap.add_argument("--fast-rng", action="store_true",
+                    help="loop-free counter-based RNG streams (production "
+                         "mode; statistically but not bitwise equivalent "
+                         "to the reference's stream consumption)")
+    ap.add_argument("--debug-check", action="store_true",
+                    help="run the checkAll-analogue state invariants at "
+                         "every log point (reference GPhoCS.c:1814)")
+    ap.add_argument("--checkpoint", metavar="PATH",
+                    help="checkpoint file (with --checkpoint-every)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    metavar="N", help="checkpoint every N iterations")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="independent vmapped chains (R-hat/ESS via "
+                         "gphocs_tpu.tools.convergence)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard loci over all visible devices "
                          "(jax.sharding 1-D 'loci' mesh)")
@@ -67,11 +83,17 @@ def main(argv=None):
     t0 = time.time()
     sampler = Sampler(cfg, dtype=jnp.float64 if use_x64 else jnp.float32,
                       legacy_rng=not args.production_rng,
-                      verbose=args.verbose, mesh=mesh)
+                      verbose=args.verbose, mesh=mesh,
+                      chains=args.chains,
+                      rng_mode="fast" if args.fast_rng else "legacy")
     print(f"{sampler.num_loci} loci, {cfg.num_samples} samples, "
           f"{cfg.num_pops} pops, {len(cfg.bands)} migration band(s); "
           f"{cfg.num_parameters()} parameters")
-    sampler.run(trace_path=cfg.mcmc.trace_file, progress=True)
+    sampler.run(trace_path=cfg.mcmc.trace_file, progress=True,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                resume=args.resume,
+                debug_check=args.debug_check)
     print(f"MCMC finished. Time used: {time.time() - t0:.1f}s")
     return 0
 
