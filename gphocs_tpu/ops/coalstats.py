@@ -178,12 +178,16 @@ def sufficient_stats(gen: GenState, params: Params,
                         params.tau[jnp.where(father_pop < 0, 0, father_pop)])
 
     anc = jnp.asarray(is_ancestral)
-    # presence of segment s in pop r: [L, P, NSEG]
+    # presence of segment s in pop r: [L, P, NSEG].  anc[r, base[l,s]] is
+    # materialized by a P-way masked union (no per-locus gathers)
     lo = jnp.maximum(segs.start[:, None, :], params.tau[None, :, None])
     hi = jnp.minimum(segs.end[:, None, :], pop_end[None, :, None])
-    present = (segs.valid[:, None, :]
-               & anc[:, segs.base_pop].transpose(1, 0, 2)
-               & (hi > lo))
+    anc_of_base = jnp.zeros((gen.num_loci, P) + segs.base_pop.shape[1:],
+                            bool)
+    for q in range(P):
+        anc_of_base = anc_of_base | (
+            (segs.base_pop == q)[:, None, :] & anc[None, :, q:q + 1])
+    present = (segs.valid[:, None, :] & anc_of_base & (hi > lo))
     if SWEEP_STATS:
         coal, _ = _sweep_integrals(lo, hi, present)
     elif gen.num_loci <= PAIRWISE_MAX_LOCI:
@@ -267,7 +271,13 @@ def lineage_presence_integral(gen: GenState, band_source: jnp.ndarray,
     """
     segs = segments(gen, band_source, oldage)
     anc = jnp.asarray(is_ancestral)
-    present = segs.valid & anc[pop[:, None], segs.base_pop]
+    P_ = anc.shape[0]
+    pop_oh = pop[:, None] == jnp.arange(P_, dtype=pop.dtype)[None, :]
+    anc_row = jnp.any(pop_oh[:, :, None] & anc[None], axis=1)  # [L, P]
+    in_pop = jnp.zeros(segs.base_pop.shape, bool)
+    for q in range(P_):
+        in_pop = in_pop | ((segs.base_pop == q) & anc_row[:, q:q + 1])
+    present = segs.valid & in_pop
     if exclude_edge is not None:
         N = gen.num_nodes
         seg_edge = jnp.concatenate(
@@ -315,11 +325,11 @@ def mig_age_move_delta(gen: GenState, params: Params, ctx,
     w0 = jnp.minimum(t, tnew)
     w1 = jnp.maximum(t, tnew)
 
-    anc = ctx.is_ancestral.astype(dt)                       # [P, P]
-    ohA = (A[:, None] == jnp.arange(P)[None, :]).astype(dt)
-    ohR = (Rm[:, None] == jnp.arange(P)[None, :]).astype(dt)
-    in_A = jnp.einsum("lq,rq->lr", ohA, anc) > 0.5          # [L, P]
-    in_R = jnp.einsum("lq,rq->lr", ohR, anc) > 0.5
+    anc = ctx.is_ancestral                                   # [P, P] bool
+    ohA = A[:, None] == jnp.arange(P)[None, :]
+    ohR = Rm[:, None] == jnp.arange(P)[None, :]
+    in_A = jnp.any(ohA[:, None, :] & anc[None, :, :], axis=2)  # [L, P]
+    in_R = jnp.any(ohR[:, None, :] & anc[None, :, :], axis=2)
     addm = in_A & ~in_R
     remm = in_R & ~in_A
 
@@ -334,8 +344,11 @@ def mig_age_move_delta(gen: GenState, params: Params, ctx,
     hi = jnp.minimum(jnp.minimum(segs.end[:, None, :],
                                  pend[None, :, None]),
                      w1[:, None, None])
-    present = segs.valid[:, None, :] & (
-        anc[:, segs.base_pop].transpose(1, 0, 2) > 0.5)
+    anc_of_base = jnp.zeros((L, P) + segs.base_pop.shape[1:], bool)
+    for q in range(P):
+        anc_of_base = anc_of_base | (
+            (segs.base_pop == q)[:, None, :] & anc[None, :, q:q + 1])
+    present = segs.valid[:, None, :] & anc_of_base
     integ = jnp.sum(
         jnp.where(present, jnp.maximum(hi - lo, 0.0), 0.0), axis=2)  # [L, P]
     wlen_r = jnp.maximum(
@@ -352,10 +365,9 @@ def mig_age_move_delta(gen: GenState, params: Params, ctx,
         ov = jnp.maximum(
             jnp.minimum(w1[:, None], band_end[None, :])
             - jnp.maximum(w0[:, None], band_start[None, :]), 0.0)    # [L, B]
-        ohTb = jnp.asarray(tb[None, :] == jnp.arange(P)[:, None],
-                           dt)                               # [P, B]
-        add_b = jnp.einsum("lr,rb->lb", addm.astype(dt), ohTb) > 0.5
-        rem_b = jnp.einsum("lr,rb->lb", remm.astype(dt), ohTb) > 0.5
+        ohTb = tb[None, :] == jnp.arange(P)[:, None]         # [P, B]
+        add_b = jnp.any(addm[:, :, None] & ohTb[None], axis=1)
+        rem_b = jnp.any(remm[:, :, None] & ohTb[None], axis=1)
         dmig = jnp.where(add_b, ov, jnp.where(rem_b, -ov, 0.0))
         dlnp = dlnp - jnp.sum(dmig * params.mig_rate[None, :], axis=1)
     return jnp.where(active, dlnp, 0.0)
@@ -389,8 +401,17 @@ def node_age_move_delta(gen: GenState, params: Params, ctx,
     raising = tnew > t
 
     segs = segments(gen, ctx.band_source, ctx.oldage)
-    anc = ctx.is_ancestral
-    present = segs.valid & anc[pop[:, None], segs.base_pop]
+    # is_ancestral[pop[l], base[l,s]] without advanced-indexing gathers
+    # (per-locus gathers are the slow class on TPU): select the pop's
+    # ancestry row by a P-way masked sum, then test base pops against it
+    P = ctx.is_ancestral.shape[0]
+    pop_oh = pop[:, None] == jnp.arange(P, dtype=pop.dtype)[None, :]
+    anc_row = jnp.sum(jnp.where(pop_oh[:, :, None], ctx.is_ancestral[None],
+                                False), axis=1)                 # [L, P] bool
+    in_pop = jnp.zeros(segs.base_pop.shape, bool)
+    for q in range(P):
+        in_pop = in_pop | ((segs.base_pop == q) & anc_row[:, q:q + 1])
+    present = segs.valid & in_pop
     lo = jnp.maximum(segs.start, w0[:, None])
     hi = jnp.minimum(segs.end, w1[:, None])
     integral = jnp.sum(

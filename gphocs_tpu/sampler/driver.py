@@ -623,6 +623,18 @@ class Sampler:
             cs_file.close()
         if tf:
             tf.close()
+        if self.verbose:
+            # reference printMethodTimes analogue (src/utils.c:233-326);
+            # per-kernel isolation timings — on remote TPU backends each
+            # carries per-call dispatch overhead, so treat as relative
+            from gphocs_tpu.profiling import print_kernel_times
+
+            print("method times (isolated, reference printMethodTimes "
+                  "analogue):", file=sys.stderr)
+            try:
+                print_kernel_times(self)
+            except Exception as exc:  # profiling must never kill a run
+                print(f"  (unavailable: {exc})", file=sys.stderr)
         cols = header.split("\t")
         return cols, np.asarray(rows)
 
