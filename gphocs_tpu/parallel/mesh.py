@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,9 +70,17 @@ def shard_sampler_state(mesh: Mesh, gen, seq, lrng, lnld, lnp,
     """
     sh = loci_sharding(mesh)
     rep = replicated(mesh)
-    gen = jax.device_put(gen, sh)
-    seq = jax.device_put(seq, sh)
-    lrng = jax.device_put(lrng, sh)
+
+    def put_loci(tree):
+        # per-leaf: rank >= 1 leaves shard on their loci axis; rank-0
+        # leaves (e.g. the fast-RNG draw counter) replicate
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh if jnp.ndim(x) >= 1 else rep),
+            tree)
+
+    gen = put_loci(gen)
+    seq = put_loci(seq)
+    lrng = put_loci(lrng)
     lnld = jax.device_put(lnld, sh)
     lnp = jax.device_put(lnp, sh)
     out = [gen, seq, lrng, lnld, lnp]

@@ -100,3 +100,22 @@ def test_fast_batch_draws_match_stream():
         singles.append(float(u[0]))
     np.testing.assert_allclose(np.asarray(batch), singles, rtol=1e-12)
     assert int(st2.ctr) == int(s.ctr)
+
+
+def test_fast_mode_with_mesh(data_file):
+    """Fast RNG + loci mesh: the scalar draw counter must replicate while
+    per-locus keys shard (regression: device_put of the rank-0 counter
+    with a loci PartitionSpec)."""
+    import jax
+    from gphocs_tpu.parallel.mesh import make_mesh
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 5
+    cfg.mcmc.start_mig = 0
+    mesh = make_mesh(jax.devices())
+    s = Sampler(cfg, seq_path=data_file, dtype=jnp.float64,
+                rng_mode="fast", mesh=mesh)
+    s.initialize()
+    st, _ = s.step_chunk(2, do_migrate=True)
+    lnld2 = data_log_likelihood_cached(s.gen, s.seq)
+    assert float(jnp.max(jnp.abs(s.lnld - lnld2))) < 1e-7
