@@ -58,13 +58,28 @@ def _real_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _bits_to_unit(x: jnp.ndarray, dt) -> jnp.ndarray:
+    """uint32 bits -> U(0,1) of dtype dt, never exactly 0 or 1.
+
+    f32 path: exponent-bitcast construction ((x >> 9) | 0x3F800000 is a
+    float in [1, 2); shift to the open interval by the exact-by-Sterbenz
+    subtraction f - (1 - 2^-24)).  This form exists because Mosaic (the
+    Pallas TPU compiler) has no uint32->f32 convert — the fused sweep
+    kernels (ops/sweeps_pallas.py) reproduce it bit-for-bit.
+    f64 path: midpoint lattice (x + 0.5) / 2^32.
+    """
+    if dt == jnp.float32 or jnp.dtype(dt) == jnp.dtype(jnp.float32):
+        f = jax.lax.bitcast_convert_type(
+            (x >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+        return f - jnp.float32(1.0 - 2.0 ** -24)
+    return (x.astype(dt) + 0.5) * (2.0 ** -32)
+
+
 def _raw_u(state: FastRngState, offset: int) -> jnp.ndarray:
     """U(0,1) for every lane at counter position ctr+offset (stateless)."""
     c = state.ctr + jnp.uint32(offset)
     x = _fmix32(state.key ^ _fmix32(c * _GOLDEN))
-    dt = _real_dtype()
-    # (x + 0.5) / 2^32 in (0, 1): never exactly 0 or 1
-    return (x.astype(dt) + 0.5) * (2.0 ** -32)
+    return _bits_to_unit(x, _real_dtype())
 
 
 def _bump(state: FastRngState, n: int) -> FastRngState:
@@ -107,8 +122,7 @@ def _raw_u_batch(state: FastRngState, n: int, offset: int) -> jnp.ndarray:
     """[n] uniforms from lane 0 at counter positions ctr+offset+0..n-1."""
     c = state.ctr + jnp.uint32(offset) + jnp.arange(n, dtype=jnp.uint32)
     x = _fmix32(state.key[0] ^ _fmix32(c * _GOLDEN))
-    dt = _real_dtype()
-    return (x.astype(dt) + 0.5) * (2.0 ** -32)
+    return _bits_to_unit(x, _real_dtype())
 
 
 def batch_u(state: FastRngState, n: int) -> Tuple[jnp.ndarray, FastRngState]:

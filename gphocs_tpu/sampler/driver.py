@@ -132,6 +132,16 @@ class Sampler:
             jax.default_backend() == "tpu" and mesh is None
             and jnp.zeros((), dtype).dtype == jnp.float32
             and os.environ.get("GPHOCS_PALLAS"))
+        # whole-sweep fused Pallas kernels (ops/sweeps_pallas.py): the
+        # production TPU path.  Fast-RNG mode only (the kernels reproduce
+        # the counter-based streams in-kernel, draw-for-draw); XLA path
+        # retained for conformance (legacy RNG), CPU, and as a fallback
+        # (GPHOCS_FUSED=0).
+        self.use_fused = bool(
+            jax.default_backend() == "tpu" and mesh is None
+            and rng_mode == "fast"
+            and jnp.zeros((), dtype).dtype == jnp.float32
+            and os.environ.get("GPHOCS_FUSED", "1") != "0")
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -378,6 +388,7 @@ class Sampler:
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
             use_pallas=self.use_pallas,
+            use_fused=self.use_fused,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))
@@ -409,6 +420,7 @@ class Sampler:
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
             use_pallas=self.use_pallas and self.chains == 1,
+            use_fused=self.use_fused and self.chains == 1,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))

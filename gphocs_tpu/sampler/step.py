@@ -31,6 +31,7 @@ from gphocs_tpu.kernels.spr import update_spr
 from gphocs_tpu.kernels.tau import update_sample_ages, update_taus
 from gphocs_tpu.ops.coalstats import genealogy_log_prior
 from gphocs_tpu.ops.likelihood_cache import full_build
+from gphocs_tpu.ops.sweeps_pallas import node_age_sweep_pallas
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -71,7 +72,7 @@ class StepStats(NamedTuple):
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas"))
+                     "use_pallas", "use_fused"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -81,7 +82,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    theta_on: bool = True, mig_rate_on: bool = True,
                    mixing_on: bool = True, var_rates: bool = False,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
-                   admix_on: bool = True, use_pallas: bool = False):
+                   admix_on: bool = True, use_pallas: bool = False,
+                   use_fused: bool = False):
     """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
 
     cond: carried pruning conditionals, consistent with (gen, seq) on
@@ -95,9 +97,16 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
 
     for _ in range(genetree_samples):
         if coal_time_on:
-            gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
-                gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp, cond,
-                use_pallas=use_pallas)
+            if use_fused:
+                # whole-sweep VMEM-resident kernel (fast-RNG mode only;
+                # draw-for-draw identical to the XLA sweep)
+                gen, lrng, lnld, lnp, cond, a = node_age_sweep_pallas(
+                    gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp,
+                    cond)
+            else:
+                gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
+                    gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp,
+                    cond, use_pallas=use_pallas)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
             gen, lrng, lnp, a = update_mig_ages(
@@ -186,7 +195,7 @@ class ChunkTrace(NamedTuple):
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas"))
+                     "use_pallas", "use_fused"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -195,7 +204,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                theta_on: bool = True, mig_rate_on: bool = True,
                mixing_on: bool = True, var_rates: bool = False,
                locus_rate_on: bool = True, var_alpha: float = 1.0,
-               admix_on: bool = True, use_pallas: bool = False):
+               admix_on: bool = True, use_pallas: bool = False,
+               use_fused: bool = False):
     """Run n_iters full iterations in one compiled call (amortizes host
     dispatch; essential on TPU where per-call latency dwarfs compute for
     small models).  Returns accumulated StepStats and a ChunkTrace with
@@ -212,7 +222,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             theta_on=theta_on, mig_rate_on=mig_rate_on,
             mixing_on=mixing_on, var_rates=var_rates,
             locus_rate_on=locus_rate_on, var_alpha=var_alpha,
-            admix_on=admix_on, use_pallas=use_pallas)
+            admix_on=admix_on, use_pallas=use_pallas,
+            use_fused=use_fused)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
@@ -234,7 +245,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas"))
+                     "use_pallas", "use_fused"))
 def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains
