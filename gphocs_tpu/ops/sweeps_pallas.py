@@ -147,23 +147,23 @@ def _combine_block(ca, cb, pa, pb, P, CPWP):
     return fa * fb
 
 
-def _refresh_path(cond_ref, age_ref, lson_ref, rson_ref, father_ref,
+def _refresh_path(cond_ref, age, lson, rson, father,
                   mut, start, nid, N, S, P, CPWP, dt):
     """Recompute conditionals along the path start -> root inside cond_ref.
 
     start: [1, TL] int32 (or -1 to skip the lane).  Exactly S-1 masked
-    steps: every root path has <= S-1 internal nodes.  age_ref holds the
-    PROPOSED ages.  Writes in place.
+    steps: every root path has <= S-1 internal nodes.  age/lson/rson/
+    father are [N, TL] VALUES holding the PROPOSED state.  Writes in
+    place.
     """
-    TL = cond_ref.shape[1]
 
     def step(cur):
         act = cur >= 0
-        ls = _gather_rows(lson_ref[:], cur, nid).astype(jnp.int32)
-        rs = _gather_rows(rson_ref[:], cur, nid).astype(jnp.int32)
-        t_c = _gather_rows(age_ref[:], cur, nid)
-        pa = _edge_p(mut * (t_c - _gather_rows(age_ref[:], ls, nid)), dt)
-        pb = _edge_p(mut * (t_c - _gather_rows(age_ref[:], rs, nid)), dt)
+        ls = _gather_rows(lson, cur, nid).astype(jnp.int32)
+        rs = _gather_rows(rson, cur, nid).astype(jnp.int32)
+        t_c = _gather_rows(age, cur, nid)
+        pa = _edge_p(mut * (t_c - _gather_rows(age, ls, nid)), dt)
+        pb = _edge_p(mut * (t_c - _gather_rows(age, rs, nid)), dt)
         ca = _son_block(cond_ref, ls, N, CPWP, dt)
         cb = _son_block(cond_ref, rs, N, CPWP, dt)
         blk = _combine_block(ca, cb, pa, pb, P, CPWP)
@@ -171,7 +171,7 @@ def _refresh_path(cond_ref, age_ref, lson_ref, rson_ref, father_ref,
             m = act & (cur == n)
             cond_ref[n * CPWP:(n + 1) * CPWP, :] = jnp.where(
                 m, blk, cond_ref[n * CPWP:(n + 1) * CPWP, :])
-        nxt = _gather_rows(father_ref[:], cur, nid).astype(jnp.int32)
+        nxt = _gather_rows(father, cur, nid).astype(jnp.int32)
         return jnp.where(act, nxt, cur)
 
     cur = start
@@ -313,7 +313,8 @@ def _node_age_kernel(ctr_ref, ft_ref,
         # -- data delta: dirty-path refresh on a scratch copy --
         prop_ref[:] = cond_ref[:]
         age_out[:] = jnp.where(ioh, jnp.broadcast_to(tnew, (N, TL)), age)
-        _refresh_path(prop_ref, age_out, lson_ref, rson_ref, father_ref,
+        _refresh_path(prop_ref, age_out[:], lson_ref[:], rson_ref[:],
+                      father_ref[:],
                       mut, jnp.full((1, TL), inode, jnp.int32), nid,
                       N, S, P, CPWP, dt)
         lnld_new = _root_lnld(prop_ref, root, gid_ref, gcount_ref,
@@ -557,3 +558,616 @@ def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
     acc = jnp.sum(acc_o[0, :L], dtype=jnp.int32)
     rng = rng._replace(ctr=rng.ctr + jnp.uint32(4 * NI))
     return gen, rng, lnld_new, lnp_new, cond_new, acc
+
+
+# --------------------------------------------------------------------------
+# Kernel 2: full SPR-with-migration sweep (UpdateGB_MigSPR)
+# --------------------------------------------------------------------------
+
+def _sort_rows(rows):
+    """Odd-even transposition sort of a list of [1, TL] rows (ascending).
+    K passes guarantee a sorted network for K rows."""
+    K = len(rows)
+    rows = list(rows)
+    for p_ in range(K):
+        start = p_ % 2
+        for j in range(start, K - 1, 2):
+            a, b = rows[j], rows[j + 1]
+            rows[j] = jnp.minimum(a, b)
+            rows[j + 1] = jnp.maximum(a, b)
+    return rows
+
+
+def _spr_kernel(ctr_ref,
+                age_ref, lson_ref, rson_ref, father_ref, root_ref,
+                pop_ref, mbr_ref, mbd_ref, mag_ref,
+                mut_ref, anc_ref, theta_ref, tau_ref, pend_ref,
+                bs_ref, be_ref, brate_ref, bsrc_ref, btgt_ref,
+                gid_ref, gcount_ref, gnph_ref, pvalid_ref,
+                key_ref, real_ref, lnld_ref, cond_in_ref,
+                # outputs
+                cond_ref, age_out, lson_out, rson_out, father_out,
+                root_out, pop_out, mbr_out, mbd_out, mag_out,
+                lnld_out, acc_ref, used_ref,
+                # scratch
+                prop_ref,
+                *, N, S, M, B, P, PP, CPWP, oldage):
+    """One loci tile, full SPR sweep.  PP = number of populations.
+
+    Hazard-inversion re-coalescence walk (twin of kernels/spr.py
+    _simulate_reconnect, itself the tensor twin of reference traceLineage
+    src/patch.c:886-1331), one-hot commit (_apply_spr twin of
+    src/GPhoCS.c:2716-2830 / replaceMigNodes patch.c:1343), two-path
+    conditional refresh (f's new position, then the old grandfather — the
+    LCA argument makes two sequential root paths exact), and the
+    data-likelihood-only MH select (src/GPhoCS.c:2702-2714).
+    """
+    dt = age_ref.dtype
+    TL = age_ref.shape[1]
+    nid = lax.broadcasted_iota(jnp.int32, (N, TL), 0)
+    mid_i = lax.broadcasted_iota(jnp.int32, (M, TL), 0)
+    K = N + M + PP + 2 * B + 1
+
+    cond_ref[:] = cond_in_ref[:]
+    age_out[:] = age_ref[:]
+    lson_out[:] = lson_ref[:]
+    rson_out[:] = rson_ref[:]
+    father_out[:] = father_ref[:]
+    root_out[:] = root_ref[:]
+    pop_out[:] = pop_ref[:]
+    mbr_out[:] = mbr_ref[:]
+    mbd_out[:] = mbd_ref[:]
+    mag_out[:] = mag_ref[:]
+    lnld_out[:] = lnld_ref[:]
+    acc_ref[:] = jnp.zeros((1, TL), jnp.int32)
+
+    key = key_ref[:]
+    ctr0 = ctr_ref[0, 0]
+    mut = mut_ref[:]
+    real = real_ref[:] > 0
+    theta = theta_ref[:]                     # [PP, TL]
+    tau = tau_ref[:]
+    pend = pend_ref[:]
+    pid = lax.broadcasted_iota(jnp.int32, (PP, TL), 0)
+    oa = jnp.asarray(oldage, dt)
+    big = jnp.asarray(_BIG, dt)
+
+    def anc_row_of(p_idx):
+        """[PP, TL] bool: anc[p_idx[l], q] for q rows (selected by one-hot)."""
+        out = []
+        for q in range(PP):
+            acc = jnp.zeros((1, TL), dt)
+            for p_ in range(PP):
+                acc = acc + jnp.where(p_idx == p_,
+                                      anc_ref[p_ * PP + q:p_ * PP + q + 1, :],
+                                      0.0)
+            out.append(acc)
+        return jnp.concatenate(out, axis=0)  # [PP, TL] 0/1 float
+
+    def node_step(i, off):
+        node = jnp.full((1, TL), i, jnp.int32)
+        age = age_out[:]
+        lson = lson_out[:].astype(jnp.int32)
+        rson = rson_out[:].astype(jnp.int32)
+        father = father_out[:].astype(jnp.int32)
+        root = root_out[:].astype(jnp.int32)
+        npop = pop_out[:].astype(jnp.int32)
+        mbr = mbr_out[:].astype(jnp.int32)
+        mbd = mbd_out[:].astype(jnp.int32)
+        mag = mag_out[:]
+        active0 = (root != i) & real
+
+        act = mbr >= 0                                       # [M, TL]
+        on_pruned = act & (mbr == i)
+        base_migs = jnp.sum(jnp.where(on_pruned, 0,
+                                      act.astype(jnp.int32)),
+                            axis=0, keepdims=True)           # [1, TL]
+
+        fa_of_node = _gather_rows(father, node, nid).astype(jnp.int32)
+        start_pop = _gather_rows(npop, node, nid).astype(jnp.int32)
+        start_age = _gather_rows(age, node, nid)
+
+        # edge tops (root edge extends to OLDAGE)
+        top_rows = []
+        for n in range(N):
+            fa_n = father[n:n + 1, :]
+            t_fa = _gather_rows(age, jnp.maximum(fa_n, 0), nid)
+            top_rows.append(jnp.where(fa_n < 0, oa, t_fa))
+        top = jnp.concatenate(top_rows, axis=0)              # [N, TL]
+
+        # per-mig-slot static data
+        mag_act = jnp.where(act, mag, big)
+        # next mig above on the same branch (age ties by slot id)
+        nxt_rows = []
+        bt_rows = []
+        sp_rows = []
+        bp_rows = []
+        for m in range(M):
+            a_m = mag_act[m:m + 1, :]
+            best = jnp.full((1, TL), _BIG, dt)
+            for m2 in range(M):
+                if m2 == m:
+                    continue
+                same = (act[m:m + 1, :] & act[m2:m2 + 1, :]
+                        & (mbr[m:m + 1, :] == mbr[m2:m2 + 1, :]))
+                a2 = mag_act[m2:m2 + 1, :]
+                later = same & ((a2 > a_m) | ((a2 == a_m) & (m2 > m)))
+                best = jnp.where(later, jnp.minimum(best, a2), best)
+            nxt_rows.append(best)
+            br_m = jnp.maximum(mbr[m:m + 1, :], 0)
+            bt_rows.append(_gather_rows(top, br_m, nid))
+            band_m = jnp.maximum(mbd[m:m + 1, :], 0)
+            if B > 0:
+                sp_rows.append(_gather_rows(
+                    bsrc_ref[:], band_m,
+                    lax.broadcasted_iota(jnp.int32, (B, TL), 0)
+                ).astype(jnp.int32))
+            else:
+                sp_rows.append(jnp.zeros((1, TL), jnp.int32))
+            bp_rows.append(_gather_rows(npop, br_m, nid).astype(jnp.int32))
+        if M > 0:
+            mnext = jnp.concatenate(nxt_rows, axis=0)        # [M, TL]
+            btop = jnp.concatenate(bt_rows, axis=0)
+            win_hi = jnp.minimum(mnext, btop)
+            src_pop_m = jnp.concatenate(sp_rows, axis=0)
+            branch_pop_m = jnp.concatenate(bp_rows, axis=0)
+
+        # ---- segment grid (sorted boundaries + per-segment tables) ----
+        bnd = [age[n:n + 1, :] for n in range(N)]
+        for m in range(M):
+            bnd.append(jnp.where(act[m:m + 1, :], mag[m:m + 1, :],
+                                 jnp.zeros((1, TL), dt)))
+        for p_ in range(PP):
+            bnd.append(jnp.broadcast_to(tau[p_:p_ + 1, :], (1, TL)))
+        for b_ in range(B):
+            bnd.append(jnp.broadcast_to(bs_ref[b_:b_ + 1, :], (1, TL)))
+            bnd.append(jnp.broadcast_to(be_ref[b_:b_ + 1, :], (1, TL)))
+        bnd.append(jnp.full((1, TL), oa, dt))
+        srows = _sort_rows(bnd)                              # K rows asc
+        b_sorted = jnp.concatenate(srows, axis=0)            # [K, TL]
+        lo_base = jnp.concatenate([jnp.zeros((1, TL), dt)] + srows[:-1],
+                                  axis=0)
+        mids = 0.5 * (lo_base + b_sorted)
+
+        # lineage counts per (segment, base pop), excluding the pruned edge
+        nbase = [jnp.zeros((K, TL), dt) for _ in range(PP)]
+        alive_rows = []
+        for n in range(N):
+            a_n = ((age[n:n + 1, :] <= mids) & (mids < top[n:n + 1, :])
+                   & (i != n))
+            alive_rows.append(a_n)
+            for q in range(PP):
+                nbase[q] = nbase[q] + jnp.where(
+                    a_n & (npop[n:n + 1, :] == q), 1.0, 0.0)
+        if M > 0 and B > 0:
+            for m in range(M):
+                in_w = (act[m:m + 1, :]
+                        & (mag[m:m + 1, :] <= mids)
+                        & (mids < win_hi[m:m + 1, :]))
+                br_m = mbr[m:m + 1, :]
+                b_alive = jnp.zeros((K, TL), jnp.bool_)
+                for n in range(N):
+                    b_alive = b_alive | (alive_rows[n] & (br_m == n))
+                w = in_w & b_alive
+                for q in range(PP):
+                    nbase[q] = nbase[q] + jnp.where(
+                        w & (src_pop_m[m:m + 1, :] == q), 1.0, 0.0) \
+                        - jnp.where(w & (branch_pop_m[m:m + 1, :] == q),
+                                    1.0, 0.0)
+        # n_all[p] = sum_q anc[p, q] nbase[q]
+        n_all = []
+        migr_all = []
+        inwin = []
+        for p_ in range(PP):
+            acc = jnp.zeros((K, TL), dt)
+            for q in range(PP):
+                acc = acc + anc_ref[p_ * PP + q:p_ * PP + q + 1, :] * nbase[q]
+            n_all.append(acc)
+            inwin.append((tau[p_:p_ + 1, :] <= mids)
+                         & (mids < pend[p_:p_ + 1, :]))
+            mr = jnp.zeros((K, TL), dt)
+            for b_ in range(B):
+                live = ((bs_ref[b_:b_ + 1, :] <= mids)
+                        & (be_ref[b_:b_ + 1, :] > mids))
+                mr = mr + jnp.where(
+                    live & (btgt_ref[b_:b_ + 1, :] == p_),
+                    brate_ref[b_:b_ + 1, :], 0.0)
+            migr_all.append(mr)
+
+        # ---- the walk (while any lane is still running) ----
+        def trip_cond(st):
+            (status, _pop, _age, _nn, _nb, _na, _tg, _ca, _off, trips) = st
+            return (jnp.max(jnp.where(status == 0, 1, 0)) > 0) & (
+                trips < M + 3)
+
+        def trip_body(st):
+            (status, pop_c, age_c, n_new, new_band, new_age, target,
+             coal_age, doff, trips) = st
+            alive = status == 0
+            lo = jnp.maximum(lo_base, age_c)
+            hi = jnp.maximum(b_sorted, age_c)
+            seg_len = jnp.maximum(hi - lo, 0.0)
+            # onpath over pops along the current pop's ancestor chain
+            pop_oh = [(pop_c == q) for q in range(PP)]
+            onpath = []
+            for p_ in range(PP):
+                acc = jnp.zeros((1, TL), dt)
+                for q in range(PP):
+                    acc = acc + jnp.where(
+                        pop_oh[q], anc_ref[p_ * PP + q:p_ * PP + q + 1, :],
+                        0.0)
+                onpath.append(acc > 0.5)
+            n_seg = jnp.zeros((K, TL), dt)
+            mig_seg = jnp.zeros((K, TL), dt)
+            ith_seg = jnp.zeros((K, TL), dt)
+            onany = jnp.zeros((K, TL), jnp.bool_)
+            for p_ in range(PP):
+                hit = onpath[p_] & inwin[p_]
+                n_seg = n_seg + jnp.where(hit, n_all[p_], 0.0)
+                mig_seg = mig_seg + jnp.where(hit, migr_all[p_], 0.0)
+                ith_seg = ith_seg + jnp.where(hit,
+                                              1.0 / theta[p_:p_ + 1, :], 0.0)
+                onany = onany | hit
+            rate = jnp.where(onany, mig_seg + 2.0 * n_seg * ith_seg, 0.0)
+            hz = rate * seg_len
+            # serial prefix sum over the K segment rows
+            crows = []
+            acc = jnp.zeros((1, TL), dt)
+            for k in range(K):
+                acc = acc + hz[k:k + 1, :]
+                crows.append(acc)
+            cum = jnp.concatenate(crows, axis=0)
+
+            u1 = _uniform(key, ctr0, doff + 1, dt)
+            E = -jnp.log(jnp.maximum(u1, jnp.asarray(1e-30, dt)))
+            reached = cum >= E
+            kio = lax.broadcasted_iota(jnp.int32, (K, TL), 0)
+            k_idx = jnp.min(jnp.where(reached, kio, K), axis=0,
+                            keepdims=True)
+            exits = k_idx == K
+            ksafe = jnp.minimum(k_idx, K - 1)
+            koh = kio == ksafe
+            cum_k = jnp.sum(jnp.where(koh, cum, 0.0), axis=0, keepdims=True)
+            hz_k = jnp.sum(jnp.where(koh, hz, 0.0), axis=0, keepdims=True)
+            prev_cum = cum_k - hz_k
+            rate_k = jnp.sum(jnp.where(koh, rate, 0.0), axis=0,
+                             keepdims=True)
+            lo_k = jnp.sum(jnp.where(koh, lo, 0.0), axis=0, keepdims=True)
+            mig_k = jnp.sum(jnp.where(koh, mig_seg, 0.0), axis=0,
+                            keepdims=True)
+            n_k = jnp.sum(jnp.where(koh, n_seg, 0.0), axis=0, keepdims=True)
+            t_event = lo_k + (E - prev_cum) / jnp.maximum(
+                rate_k, jnp.asarray(1e-30, dt))
+            # pop of the event segment
+            pop_k = jnp.zeros((1, TL), jnp.int32)
+            theta_k = jnp.zeros((1, TL), dt)
+            for p_ in range(PP):
+                w_p = jnp.sum(jnp.where(koh & onpath[p_] & inwin[p_],
+                                        1.0, 0.0), axis=0, keepdims=True)
+                pop_k = jnp.where(w_p > 0.5, p_, pop_k)
+                theta_k = jnp.where(w_p > 0.5, theta[p_:p_ + 1, :], theta_k)
+
+            ev_mask = alive & ~exits
+            u2 = _uniform(key, ctr0, doff + 2, dt)
+            esample = u2 * rate_k
+            is_mig = ev_mask & (esample < mig_k) & (B > 0)
+            over_cap = is_mig & (base_migs + n_new + 1 > M)
+
+            if B > 0:
+                cumb = jnp.zeros((1, TL), dt)
+                chosen = jnp.zeros((1, TL), jnp.int32)
+                found = jnp.zeros((1, TL), jnp.bool_)
+                src_pop = jnp.zeros((1, TL), jnp.int32)
+                for b_ in range(B):
+                    live = ((btgt_ref[b_:b_ + 1, :] == pop_k)
+                            & (bs_ref[b_:b_ + 1, :] <= t_event)
+                            & (be_ref[b_:b_ + 1, :] > t_event))
+                    cumb = cumb + jnp.where(live, brate_ref[b_:b_ + 1, :],
+                                            0.0)
+                    pick = live & (cumb > esample) & ~found
+                    chosen = jnp.where(pick, b_, chosen)
+                    src_pop = jnp.where(
+                        pick, bsrc_ref[b_:b_ + 1, :].astype(jnp.int32),
+                        src_pop)
+                    found = found | pick
+            else:
+                chosen = jnp.zeros((1, TL), jnp.int32)
+                src_pop = pop_c
+
+            do_mig = is_mig & ~over_cap
+            slot = jnp.clip(n_new, 0, M - 1)
+            put = do_mig & (mid_i == slot)
+            new_band = jnp.where(put, jnp.broadcast_to(chosen, (M, TL)),
+                                 new_band)
+            new_age = jnp.where(put, jnp.broadcast_to(t_event, (M, TL)),
+                                new_age)
+            n_new = n_new + jnp.where(do_mig, 1, 0)
+
+            # coalescence: i_pick-th covering branch in node-id order
+            is_coal = ev_mask & ~is_mig
+            i_pick = jnp.floor((esample - mig_k) * theta_k / 2.0
+                               ).astype(jnp.int32)
+            i_pick = jnp.clip(i_pick, 0,
+                              jnp.maximum(n_k.astype(jnp.int32) - 1, 0))
+            anc_k = anc_row_of(pop_k)                        # [PP, TL]
+            csum = jnp.zeros((1, TL), jnp.int32)
+            tgt = jnp.zeros((1, TL), jnp.int32)
+            got = jnp.zeros((1, TL), jnp.bool_)
+            for n in range(N):
+                a_n = ((age[n:n + 1, :] <= t_event)
+                       & (t_event < top[n:n + 1, :]) & (i != n))
+                # trajectory pop of branch n at t_event
+                traj = npop[n:n + 1, :]
+                for m in range(M):
+                    on_n = (act[m:m + 1, :] & (mbr[m:m + 1, :] == n)
+                            & (mag[m:m + 1, :] <= t_event)
+                            & (t_event < win_hi[m:m + 1, :]))
+                    traj = jnp.where(on_n, src_pop_m[m:m + 1, :], traj)
+                inp = jnp.zeros((1, TL), jnp.bool_)
+                for q in range(PP):
+                    inp = inp | ((traj == q) & (anc_k[q:q + 1, :] > 0.5))
+                cov_n = a_n & inp
+                csum = csum + jnp.where(cov_n, 1, 0)
+                hitn = cov_n & (csum > i_pick) & ~got
+                tgt = jnp.where(hitn, n, tgt)
+                got = got | hitn
+            coal_ok = is_coal & (n_k > 0.5)
+
+            status = jnp.where(alive & exits, -1, status)
+            status = jnp.where(over_cap, -1, status)
+            status = jnp.where(coal_ok, 1, status)
+            status = jnp.where(is_coal & (n_k <= 0.5), -1, status)
+            pop_c = jnp.where(do_mig, src_pop, pop_c)
+            pop_c = jnp.where(coal_ok, pop_k, pop_c)
+            age_c = jnp.where(do_mig, t_event, age_c)
+            target = jnp.where(coal_ok, tgt, target)
+            coal_age = jnp.where(coal_ok, t_event, coal_age)
+            return (status, pop_c, age_c, n_new, new_band, new_age, target,
+                    coal_age, doff + 2, trips + 1)
+
+        st0 = (jnp.where(active0, 0, -2).astype(jnp.int32),
+               start_pop, start_age,
+               jnp.zeros((1, TL), jnp.int32),
+               jnp.zeros((M, TL), jnp.int32),
+               jnp.zeros((M, TL), dt),
+               jnp.zeros((1, TL), jnp.int32),
+               jnp.zeros((1, TL), dt),
+               off, jnp.zeros((), jnp.int32))
+        (status, sim_pop, _sa, n_new, new_band, new_age, target, coal_age,
+         doff, _tr) = lax.while_loop(trip_cond, trip_body, st0)
+        ok = status == 1
+
+        # ---- commit (proposed values; _apply_spr twin) ----
+        f = fa_of_node
+        f_safe = jnp.maximum(f, 0)
+        sib = (_gather_rows(lson, f_safe, nid)
+               + _gather_rows(rson, f_safe, nid) - i).astype(jnp.int32)
+        g = _gather_rows(father, f_safe, nid).astype(jnp.int32)
+        t_new = coal_age
+        tgt_fa = _gather_rows(father, target, nid).astype(jnp.int32)
+        tc = ok & (target != sib) & (target != f)
+
+        is_f = nid == f
+        is_sib = nid == sib
+        is_g = (nid == g) & (g >= 0)
+        is_tgt = nid == target
+        is_tf = (nid == tgt_fa) & (tgt_fa >= 0)
+
+        age_p = jnp.where(ok & is_f, jnp.broadcast_to(t_new, (N, TL)), age)
+        pop_p = jnp.where(ok & is_f, jnp.broadcast_to(sim_pop, (N, TL)),
+                          npop)
+        father_p = jnp.where(tc & is_sib, jnp.broadcast_to(g, (N, TL)),
+                             father)
+        father_p = jnp.where(tc & is_f, jnp.broadcast_to(tgt_fa, (N, TL)),
+                             father_p)
+        father_p = jnp.where(tc & is_tgt, jnp.broadcast_to(f, (N, TL)),
+                             father_p)
+        lson_p = jnp.where(tc & is_g & (lson == f),
+                           jnp.broadcast_to(sib, (N, TL)), lson)
+        lson1 = jnp.where(tc & is_f, jnp.broadcast_to(node, (N, TL)),
+                          lson_p)
+        lson_p = jnp.where(tc & is_tf & (lson1 == target),
+                           jnp.broadcast_to(f, (N, TL)), lson1)
+        rson_p = jnp.where(tc & is_g & (rson == f),
+                           jnp.broadcast_to(sib, (N, TL)), rson)
+        rson1 = jnp.where(tc & is_f, jnp.broadcast_to(target, (N, TL)),
+                          rson_p)
+        rson_p = jnp.where(tc & is_tf & (rson1 == target),
+                           jnp.broadcast_to(f, (N, TL)), rson1)
+        root_p = jnp.where(tc & (tgt_fa < 0), f,
+                           jnp.where(tc & (g < 0), sib, root))
+
+        keep = act & ~(ok & (mbr == i))
+        mb2 = jnp.where(ok & (mbr == f), jnp.broadcast_to(sib, (M, TL)),
+                        mbr)
+        t_eff = jnp.where(target == f, sib, target)
+        mb2 = jnp.where(ok & (mb2 == t_eff) & (mag >= t_new),
+                        jnp.broadcast_to(f, (M, TL)), mb2)
+        mbr_p = jnp.where(keep, mb2, -1)
+        mbd_p = jnp.where(keep, mbd, 0)
+        mag_p = jnp.where(keep, mag, 0.0)
+        free = mbr_p < 0
+        rrows = []
+        racc = jnp.zeros((1, TL), jnp.int32)
+        for m in range(M):
+            racc = racc + jnp.where(free[m:m + 1, :], 1, 0)
+            rrows.append(racc)
+        rank = jnp.concatenate(rrows, axis=0) - 1
+        recv = ok & free & (rank < n_new)
+        mbr_p = jnp.where(recv, jnp.broadcast_to(node, (M, TL)), mbr_p)
+        nb_sel = jnp.zeros((M, TL), jnp.int32)
+        na_sel = jnp.zeros((M, TL), dt)
+        for j in range(M):
+            rj = rank == j
+            nb_sel = jnp.where(rj, jnp.broadcast_to(new_band[j:j + 1, :],
+                                                    (M, TL)), nb_sel)
+            na_sel = jnp.where(rj, jnp.broadcast_to(new_age[j:j + 1, :],
+                                                    (M, TL)), na_sel)
+        mbd_p = jnp.where(recv, nb_sel, mbd_p)
+        mag_p = jnp.where(recv, na_sel, mag_p)
+
+        # ---- data delta: two-path refresh on the proposed state ----
+        prop_ref[:] = cond_ref[:]
+        start1 = jnp.where(active0, f, -1)
+        _refresh_path(prop_ref, age_p, lson_p, rson_p, father_p, mut,
+                      start1, nid, N, S, P, CPWP, dt)
+        start2 = jnp.where(active0 & (g >= 0), g, -1)
+        _refresh_path(prop_ref, age_p, lson_p, rson_p, father_p, mut,
+                      start2, nid, N, S, P, CPWP, dt)
+        lnld_new = _root_lnld(prop_ref, root_p, gid_ref, gcount_ref,
+                              gnph_ref, pvalid_ref, N, P, CPWP, dt)
+        lnld_old = lnld_out[:]
+        lnacc = lnld_new - lnld_old
+
+        u = _uniform(key, ctr0, doff + 1, dt)
+        accept = ok & ((lnacc >= 0.0)
+                       | (u < jnp.exp(jnp.minimum(lnacc, 0.0))))
+
+        accN = jnp.broadcast_to(accept, (N, TL))
+        accM = jnp.broadcast_to(accept, (M, TL))
+        age_out[:] = jnp.where(accN, age_p, age)
+        lson_out[:] = jnp.where(accN, lson_p, lson)
+        rson_out[:] = jnp.where(accN, rson_p, rson)
+        father_out[:] = jnp.where(accN, father_p, father)
+        pop_out[:] = jnp.where(accN, pop_p, npop)
+        root_out[:] = jnp.where(accept, root_p, root)
+        mbr_out[:] = jnp.where(accM, mbr_p, mbr)
+        mbd_out[:] = jnp.where(accM, mbd_p, mbd)
+        mag_out[:] = jnp.where(accM, mag_p, mag)
+        cond_ref[:] = jnp.where(jnp.broadcast_to(accept, cond_ref.shape),
+                                prop_ref[:], cond_ref[:])
+        lnld_out[:] = jnp.where(accept, lnld_new, lnld_old)
+        acc_ref[:] = acc_ref[:] + jnp.where(accept, 1, 0).astype(jnp.int32)
+        return doff + 1
+
+    used = lax.fori_loop(0, N, node_step, jnp.zeros((), jnp.int32))
+    used_ref[:] = jnp.broadcast_to(used, (1, TL)).astype(jnp.int32)
+
+
+def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
+                     rng: FastRngState, ctx: Context, lnld, cond,
+                     *, tile: int = 256, interpret: bool = False):
+    """Drop-in fused twin of kernels/spr.update_spr for fast-RNG mode
+    (no admixture).  Returns (gen, rng, lnld, cond, acc).
+
+    RNG consumption: 2 draws per walk trip + 1 MH draw per node step,
+    where the trip count is the per-tile max (lanes in the same tile stay
+    counter-synchronized; the returned state advances the shared counter
+    by the max consumption over tiles — skipped counter values are never
+    reused, so streams stay fresh).  The XLA twin's consumption differs
+    only in that its trip synchronization is global over all loci.
+    """
+    L, N, P_pat, _ = cond.shape
+    S = (N + 1) // 2
+    M = gen.max_migs
+    B = ctx.num_bands
+    PP = ctx.num_pops
+    dt = gen.age.dtype
+
+    cond_cl, CPWP = _cl_layout(cond)
+    TL = tile
+    Lp = _round_up(L, TL)
+    padL = Lp - L
+
+    def padr(x, fill=0):
+        if padL == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padL)), constant_values=fill)
+
+    def row(x, cast=None):
+        v = x[None, :]
+        return padr(v if cast is None else v.astype(cast))
+
+    def mat(x, cast=None):
+        v = x.T
+        return padr(v if cast is None else v.astype(cast))
+
+    def bcast(x, cast=None):
+        v = jnp.broadcast_to(x[:, None], (x.shape[0], Lp))
+        return v if cast is None else v.astype(cast)
+
+    pend = jnp.where(ctx.father_pop < 0, jnp.asarray(ctx.oldage, dt),
+                     params.tau[jnp.where(ctx.father_pop < 0, 0,
+                                          ctx.father_pop)])
+    anc = ctx.is_ancestral.astype(dt).reshape(PP * PP)
+    bs, be = band_windows(ctx, params.tau)
+    if B > 0:
+        bs_a, be_a = bcast(bs.astype(dt)), bcast(be.astype(dt))
+        br_a = bcast(params.mig_rate.astype(dt))
+        bsrc = bcast(ctx.band_source, jnp.int32)
+        btgt = bcast(ctx.band_target, jnp.int32)
+    else:
+        bs_a = jnp.zeros((1, Lp), dt)
+        be_a = jnp.zeros((1, Lp), dt)
+        br_a = jnp.zeros((1, Lp), dt)
+        bsrc = jnp.full((1, Lp), -1, jnp.int32)
+        btgt = jnp.full((1, Lp), -1, jnp.int32)
+
+    args = (
+        mat(gen.age), mat(gen.lson, jnp.int32), mat(gen.rson, jnp.int32),
+        mat(gen.father, jnp.int32), row(gen.root, jnp.int32),
+        mat(gen.node_pop, jnp.int32),
+        mat(gen.mig_branch, jnp.int32), mat(gen.mig_band, jnp.int32),
+        mat(gen.mig_age),
+        row(gen.mut_rate), bcast(anc), bcast(params.theta.astype(dt)),
+        bcast(params.tau.astype(dt)), bcast(pend),
+        bs_a, be_a, br_a, bsrc, btgt,
+        mat(seq.group_id, jnp.int32), mat(seq.group_count.astype(dt)),
+        mat(seq.group_nphases.astype(dt)),
+        mat(seq.pattern_valid.astype(dt)),
+        row(rng.key[:L], jnp.uint32),
+        row(jnp.ones((L,), jnp.int32), jnp.int32),
+        row(lnld),
+        padr(cond_cl),
+    )
+    ctr = jnp.asarray(rng.ctr, jnp.uint32).reshape(1, 1)
+    grid = (Lp // TL,)
+
+    def vspec(r):
+        return pl.BlockSpec((r, TL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [sspec] + [vspec(a.shape[0]) for a in args]
+    out_shape = (
+        jax.ShapeDtypeStruct((N * CPWP, Lp), dt),   # cond
+        jax.ShapeDtypeStruct((N, Lp), dt),          # age
+        jax.ShapeDtypeStruct((N, Lp), jnp.int32),   # lson
+        jax.ShapeDtypeStruct((N, Lp), jnp.int32),   # rson
+        jax.ShapeDtypeStruct((N, Lp), jnp.int32),   # father
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # root
+        jax.ShapeDtypeStruct((N, Lp), jnp.int32),   # node_pop
+        jax.ShapeDtypeStruct((M, Lp), jnp.int32),   # mig_branch
+        jax.ShapeDtypeStruct((M, Lp), jnp.int32),   # mig_band
+        jax.ShapeDtypeStruct((M, Lp), dt),          # mig_age
+        jax.ShapeDtypeStruct((1, Lp), dt),          # lnld
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # acc
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # used draws
+    )
+    out_specs = tuple(vspec(s.shape[0]) for s in out_shape)
+
+    kernel = functools.partial(
+        _spr_kernel, N=N, S=S, M=M, B=B, P=P_pat, PP=PP, CPWP=CPWP,
+        oldage=ctx.oldage)
+    (cond_o, age_o, ls_o, rs_o, fa_o, root_o, pop_o, mbr_o, mbd_o, mag_o,
+     lnld_o, acc_o, used_o) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((N * CPWP, TL), dt)],
+        interpret=interpret,
+    )(ctr, *args)
+
+    gen = gen._replace(
+        age=age_o[:, :L].T, lson=ls_o[:, :L].T, rson=rs_o[:, :L].T,
+        father=fa_o[:, :L].T, root=root_o[0, :L], node_pop=pop_o[:, :L].T,
+        mig_branch=mbr_o[:, :L].T, mig_band=mbd_o[:, :L].T,
+        mig_age=mag_o[:, :L].T)
+    cond_new = _cl_unlayout(cond_o[:, :L], L, N, P_pat, CPWP)
+    lnld_new = lnld_o[0, :L]
+    acc = jnp.sum(acc_o[0, :L], dtype=jnp.int32)
+    used = jnp.max(used_o[0, :]).astype(jnp.uint32)
+    rng = rng._replace(ctr=rng.ctr + used)
+    return gen, rng, lnld_new, cond_new, acc

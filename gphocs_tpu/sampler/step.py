@@ -31,7 +31,8 @@ from gphocs_tpu.kernels.spr import update_spr
 from gphocs_tpu.kernels.tau import update_sample_ages, update_taus
 from gphocs_tpu.ops.coalstats import genealogy_log_prior
 from gphocs_tpu.ops.likelihood_cache import full_build
-from gphocs_tpu.ops.sweeps_pallas import node_age_sweep_pallas
+from gphocs_tpu.ops.sweeps_pallas import (node_age_sweep_pallas,
+                                          spr_sweep_pallas)
 from gphocs_tpu.state import GenState, Params, SeqData
 
 
@@ -72,7 +73,7 @@ class StepStats(NamedTuple):
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused"))
+                     "use_pallas", "use_fused", "spr_on", "tau_on"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -83,7 +84,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    mixing_on: bool = True, var_rates: bool = False,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
                    admix_on: bool = True, use_pallas: bool = False,
-                   use_fused: bool = False):
+                   use_fused: bool = False, spr_on: bool = True,
+                   tau_on: bool = True):
     """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
 
     cond: carried pruning conditionals, consistent with (gen, seq) on
@@ -112,12 +114,17 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             gen, lrng, lnp, a = update_mig_ages(
                 gen, params, lrng, ctx, ft.mig_time, lnp)
             acc_mt = acc_mt + a
-        gen, lrng, lnld, cond, a = update_spr(
-            gen, params, seq, lrng, ctx, lnld, cond,
-            use_pallas=use_pallas)
-        acc_spr = acc_spr + a
-        # SPR tracks only the data likelihood; refresh the genealogy prior
-        lnp = gen_log_prior(gen, params, ctx)
+        if spr_on:
+            if use_fused and ctx.num_admixed == 0:
+                gen, lrng, lnld, cond, a = spr_sweep_pallas(
+                    gen, params, seq, lrng, ctx, lnld, cond)
+            else:
+                gen, lrng, lnld, cond, a = update_spr(
+                    gen, params, seq, lrng, ctx, lnld, cond,
+                    use_pallas=use_pallas)
+            acc_spr = acc_spr + a
+            # SPR tracks only the data likelihood; refresh the prior
+            lnp = gen_log_prior(gen, params, ctx)
         if var_rates and locus_rate_on:
             gen, lrng, lnld, a, dv = update_locus_rates(
                 gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
@@ -138,9 +145,13 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     else:
         acc_mr = jnp.zeros((), jnp.int32)
 
-    gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = update_taus(
-        gen, params, seq, grng, ctx, ft.taus, lnld, lnp, cond,
-        num_pops, num_cur_pops, use_pallas=use_pallas)
+    if tau_on:
+        gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = \
+            update_taus(gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
+                        cond, num_pops, num_cur_pops, use_pallas=use_pallas)
+    else:
+        acc_taus = jnp.zeros((num_pops,), jnp.int32)
+        conflicts = jnp.zeros((), jnp.int32)
     if any(sample_age_mask):
         gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
             update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
@@ -195,7 +206,7 @@ class ChunkTrace(NamedTuple):
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused"))
+                     "use_pallas", "use_fused", "spr_on", "tau_on"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -205,7 +216,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                mixing_on: bool = True, var_rates: bool = False,
                locus_rate_on: bool = True, var_alpha: float = 1.0,
                admix_on: bool = True, use_pallas: bool = False,
-               use_fused: bool = False):
+               use_fused: bool = False, spr_on: bool = True,
+               tau_on: bool = True):
     """Run n_iters full iterations in one compiled call (amortizes host
     dispatch; essential on TPU where per-call latency dwarfs compute for
     small models).  Returns accumulated StepStats and a ChunkTrace with
@@ -223,7 +235,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             mixing_on=mixing_on, var_rates=var_rates,
             locus_rate_on=locus_rate_on, var_alpha=var_alpha,
             admix_on=admix_on, use_pallas=use_pallas,
-            use_fused=use_fused)
+            use_fused=use_fused, spr_on=spr_on, tau_on=tau_on)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
@@ -245,7 +257,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused"))
+                     "use_pallas", "use_fused", "spr_on", "tau_on"))
 def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains

@@ -71,8 +71,8 @@ def main():
 
     full = run()
     print(f"{'full iteration':28s} {full*1e3:9.3f} ms/iter")
-    for flag in ("coal_time_on", "mig_time_on", "theta_on", "mig_rate_on",
-                 "mixing_on"):
+    for flag in ("coal_time_on", "mig_time_on", "spr_on", "tau_on",
+                 "theta_on", "mig_rate_on", "mixing_on"):
         t = run(**{flag: False})
         print(f"{'minus ' + flag:28s} {t*1e3:9.3f} ms/iter   "
               f"(family ~{(full-t)*1e3:7.3f} ms)")

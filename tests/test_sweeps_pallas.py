@@ -74,3 +74,45 @@ def test_node_age_sweep_matches_xla(warm_sampler):
     # something actually moved this sweep
     assert int(a1) > 0
     assert float(jnp.max(jnp.abs(g1.age - gen.age))) > 0
+
+
+def test_spr_sweep_matches_xla(warm_sampler):
+    """Single-tile fused SPR sweep vs the XLA fast-mode sweep: with one
+    tile the walk trip synchronization is identical, so the two paths
+    consume the same draws and must agree."""
+    from gphocs_tpu.kernels.spr import update_spr
+    from gphocs_tpu.ops.sweeps_pallas import spr_sweep_pallas
+
+    s = warm_sampler
+    gen, params, seq = s.gen, s.params, s.seq
+    lrng, lnld, cond = s.lrng, s.lnld, s.cond
+    L = gen.num_loci
+
+    g1, r1, ld1, c1, a1 = update_spr(gen, params, seq, lrng, s.ctx,
+                                     lnld, cond)
+    g2, r2, ld2, c2, a2 = spr_sweep_pallas(gen, params, seq, lrng, s.ctx,
+                                           lnld, cond, tile=L,
+                                           interpret=True)
+
+    assert int(a1) == int(a2)
+    assert int(r1.ctr) == int(r2.ctr)
+    np.testing.assert_array_equal(np.asarray(g1.father),
+                                  np.asarray(g2.father))
+    np.testing.assert_array_equal(np.asarray(g1.lson), np.asarray(g2.lson))
+    np.testing.assert_array_equal(np.asarray(g1.rson), np.asarray(g2.rson))
+    np.testing.assert_array_equal(np.asarray(g1.root), np.asarray(g2.root))
+    np.testing.assert_array_equal(np.asarray(g1.node_pop),
+                                  np.asarray(g2.node_pop))
+    np.testing.assert_array_equal(np.asarray(g1.mig_branch),
+                                  np.asarray(g2.mig_branch))
+    np.testing.assert_array_equal(np.asarray(g1.mig_band),
+                                  np.asarray(g2.mig_band))
+    np.testing.assert_allclose(np.asarray(g1.mig_age),
+                               np.asarray(g2.mig_age), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1.age), np.asarray(g2.age),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld2),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=0, atol=1e-10)
+    assert int(a1) > 0
