@@ -188,6 +188,13 @@ def _parse_current_pops(c: _Cursor, cfg: RunConfig):
         pop.theta_alpha = cfg.mcmc.tau_theta_alpha
         pop.theta_beta = cfg.mcmc.tau_theta_beta
         pop.theta_print = cfg.mcmc.tau_theta_print
+        # ancient-sample-age trace columns scale by the global print factor
+        # (reference finalizeNumParameters, src/MCMCcontrol.c:452-456), and
+        # the age prior of a current pop defaults to the global tau-theta
+        # prior (reference agePrior defaults, src/MCMCcontrol.c:276-300)
+        pop.tau_print = cfg.mcmc.tau_theta_print
+        pop.tau_alpha = cfg.mcmc.tau_theta_alpha
+        pop.tau_beta = cfg.mcmc.tau_theta_beta
         while True:
             tok = c.next()
             if tok == "POP-END":

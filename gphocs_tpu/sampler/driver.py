@@ -91,11 +91,14 @@ class AcceptCounts:
     mixing: int = 0
     conflicts: int = 0
     mig_nodes: int = 0
+    locus_rate: int = 0
+    admix: int = 0
 
     def reset(self, P: int):
         self.coal_time = self.mig_time = self.spr = 0
         self.theta = self.mig_rate = self.mixing = 0
         self.conflicts = self.mig_nodes = 0
+        self.locus_rate = self.admix = 0
         self.taus = np.zeros(P, int)
 
 
@@ -554,6 +557,8 @@ class Sampler:
             counts.mig_rate += int(st.acc_mig_rate)
             counts.taus += np.asarray(st.acc_taus)
             counts.mixing += int(st.acc_mixing)
+            counts.locus_rate += int(st.acc_locus_rate)
+            counts.admix += int(st.acc_admix)
             counts.conflicts += int(st.tau_conflicts)
             mig_nodes_accum += int(st.num_migs_total)
             log_count += n_iters
@@ -653,9 +658,11 @@ class Sampler:
     def _percents(self, c: AcceptCounts, log_count, total_coals,
                   mig_nodes_accum):
         cfg = self.cfg
-        gts = 1
+        gts = max(cfg.mcmc.genetree_samples, 1)
         P = self.tree.num_pops
         B = self.tree.num_bands
+        A = len(self.tree.admix_slot)
+        L = max(self.num_loci - self.pad_loci, 2)
         lc = max(log_count, 1)
         n_anc = max(self.tree.num_pops - self.tree.num_cur_pops, 1)
         return {
@@ -667,7 +674,10 @@ class Sampler:
             "taus": c.taus * 100.0 / lc,
             "mixing": c.mixing * 100.0 / lc,
             "rubberband": c.conflicts * 100.0 / (lc * n_anc),
-            "locus_rate": 0.0,
+            # reference: accepted / (logCount * (numLoci-1) * genetreeSamples)
+            # (src/GPhoCS.c:1842-1846) and / (logCount * #admixed) (:1848)
+            "locus_rate": c.locus_rate * 100.0 / (lc * (L - 1) * gts),
+            "admix": (c.admix * 100.0 / (lc * A)) if A else 0.0,
         }
 
     def _adjust_finetunes(self, pct):
@@ -676,6 +686,16 @@ class Sampler:
         self.ft_search["theta"].adjust(pct["theta"])
         self.ft_search["mig_rate"].adjust(pct["mig_rate"])
         self.ft_search["mixing"].adjust(pct["mixing"])
+        # locus-rate / admixture finetunes (reference src/GPhoCS.c:2163-2185)
+        if self.cfg.mcmc.mut_rate_mode == 1:
+            self.ft_search["locus_rate"].adjust(pct["locus_rate"])
+        if len(self.tree.admix_slot):
+            self.ft_search["admix"].adjust(pct.get("admix", 0.0))
         for p in range(self.tree.num_cur_pops, self.tree.num_pops):
             self.ft_taus[p].adjust(pct["taus"][p])
+        # tau finetunes of current pops with estimated sample ages
+        # (reference adjusts every taus[pop] entry, src/GPhoCS.c:2150-2190)
+        for p in range(self.tree.num_cur_pops):
+            if self.tree.update_sample_age[p]:
+                self.ft_taus[p].adjust(pct["taus"][p])
         self._update_ft_device()

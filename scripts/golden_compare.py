@@ -104,16 +104,18 @@ MIG-BANDS-END
 
 
 def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
-                   nl=100, boost=8.0, jax_chains=None, verbose=True):
+                   nl=100, boost=8.0, jax_chains=None, verbose=True,
+                   ctl_template=None):
     """Build/run pooled C and gphocs_tpu chains on the same simulated data;
     returns a list of per-parameter dicts with means, stds and the
     between-chain z score.  The committed conformance gate
     (tests/test_golden.py) asserts on these."""
     work = tempfile.mkdtemp(prefix="golden_")
     seq = os.path.join(work, "seqs.txt")
+    tmpl = ctl_template or CTL_TEMPLATE
 
-    ctl_text0 = CTL_TEMPLATE.format(seq=seq, trace="t.out", iters=iters,
-                                    burnin=burnin, seed=1357)
+    ctl_text0 = tmpl.format(seq=seq, trace="t.out", iters=iters,
+                            burnin=burnin, seed=1357)
     cfg = parse_control_text(ctl_text0)
     tree = build_poptree(cfg)
     # simulate from a higher-diversity parameter set so the data actually
@@ -139,8 +141,8 @@ def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
         ctl_c = os.path.join(work, f"c{ch}.ctl")
         trace_c = os.path.join(work, f"c-{ch}.out")
         with open(ctl_c, "w") as f:
-            f.write(CTL_TEMPLATE.format(seq=seq, trace=trace_c, iters=iters,
-                                        burnin=burnin, seed=1357 + 17 * ch))
+            f.write(tmpl.format(seq=seq, trace=trace_c, iters=iters,
+                                burnin=burnin, seed=1357 + 17 * ch))
         if verbose:
             print(f"running C chain {ch} ...")
         res = subprocess.run([binary, ctl_c], capture_output=True, text=True,
@@ -208,3 +210,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# BASELINE config 4 shape: ancient-DNA sample age on a current pop
+# (reference UpdateSampleAge, src/GPhoCS.c:4006-4590).  Pop D carries an
+# estimated ancient sample age; its age prior is the global tau-theta
+# prior (src/MCMCcontrol.c:276-300).  no-mixing: the reference's mixing
+# kernel scales estimated sample ages with neither prior nor Jacobian
+# terms (src/GPhoCS.c:4722-4747), so with mixing the comparison would
+# gate on a reference bug rather than on UpdateSampleAge.
+CTL_SAMPLE_AGE = CTL_TEMPLATE.replace(
+    "\t\tname\t\tD\n\t\tsamples\t\tfive d\n",
+    "\t\tname\t\tD\n\t\tsamples\t\tfive d\n\t\tage\t\t0.00002\te\n"
+).replace("\tfinetune-mixing\t\t0.003", "\tfinetune-mixing\t\t0.0")
+assert "age\t\t0.00002" in CTL_SAMPLE_AGE
+
+# VAR locus mutation rates (reference UpdateLocusRate,
+# src/GPhoCS.c:4598-4674; initialization :1137-1178).
+CTL_VAR_RATES = CTL_TEMPLATE.replace(
+    "\tlocus-mut-rate      CONST",
+    "\tlocus-mut-rate      VAR 1.0\n\tfinetune-locus-rate 0.3")
+assert "VAR 1.0" in CTL_VAR_RATES
