@@ -30,7 +30,7 @@ from gphocs_tpu.state import GenState, Params, SeqData
 
 def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
                   ctx: Context, finetune, lnld, lnp, cond, stats: CoalStats,
-                  num_cur_pops: int, use_pallas: bool = False):
+                  num_cur_pops: int):
     """Returns (gen, params, rng_state, lnld, lnp, cond, accepted)."""
     z, rng_state = R.general_draw_2normal8(rng_state)
     lnc = (finetune * z).astype(lnld.dtype)
@@ -72,7 +72,7 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
     params_prop = params._replace(theta=th_new, tau=tau_new,
                                   sample_age=sa_new, mig_rate=m_new)
     cond_prop, lnld_prop = full_rebuild_and_lnld(
-        gen_prop, seq, make_tables(gen), use_pallas=use_pallas)
+        gen_prop, seq, make_tables(gen))
     data_delta = jnp.sum(lnld_prop - lnld)
     lnacc = lnacc + gen_delta + data_delta
 

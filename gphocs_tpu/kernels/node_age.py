@@ -43,7 +43,7 @@ from gphocs_tpu.utils import reflect
 def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
                               rng_state, ctx: Context, finetune,
                               lnld: jnp.ndarray, lnp: jnp.ndarray,
-                              cond: jnp.ndarray, use_pallas: bool = False):
+                              cond: jnp.ndarray):
     """One full sweep over all internal nodes.
 
     lnld/lnp: current per-locus data log-likelihood and genealogy log-prior;
@@ -88,7 +88,7 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
         gen_prop = gen._replace(age=gen.age.at[:, inode].set(tnew))
         dirty0 = jnp.zeros((N,), bool).at[inode].set(True)
         cond_prop, lnld_prop = refresh_and_lnld(
-            cond, gen_prop, seq, dirty0, tables, use_pallas=use_pallas)
+            cond, gen_prop, seq, dirty0, tables)
         dlnp = node_age_move_delta(gen, params, ctx, node_vec, tnew,
                                    bstart, bend)
         lnp_prop = lnp + dlnp

@@ -478,8 +478,7 @@ def _apply_spr(gen: GenState, ctx: Context, node, accept, sim: _SimState):
 
 
 def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
-               ctx: Context, lnld: jnp.ndarray, cond: jnp.ndarray,
-               use_pallas: bool = False):
+               ctx: Context, lnld: jnp.ndarray, cond: jnp.ndarray):
     """One full SPR sweep over all nodes.  Returns
     (gen, rng_state, lnld, cond, accepted_count).  The genealogy log-prior
     must be recomputed by the caller afterwards."""
@@ -531,7 +530,7 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
             | ((nid == g[:, None]) & (g >= 0)[:, None]) \
             | ((nid == tgt_fa[:, None]) & (tgt_fa >= 0)[:, None] & ok[:, None])
         cond_prop, lnld_prop = refresh_and_lnld(
-            cond, gen_prop, seq, dirty0, use_pallas=use_pallas)
+            cond, gen_prop, seq, dirty0)
         lnacc = lnld_prop - lnld
         accept, rng_state = mh_accept(rng_state, lnacc, ok)
         gen = jax.tree_util.tree_map(

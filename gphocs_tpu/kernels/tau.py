@@ -77,7 +77,7 @@ def _mig_neighbor_ages(gen: GenState):
 def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
                           ctx: Context, pop: int, is_sample_age: bool,
                           taub0, taub1, tauold, taunew,
-                          lnld, lnp, tables, use_pallas=False):
+                          lnld, lnp, tables):
     """Shared core: build the remapped state, count Jacobian terms, detect
     conflicts, and compute the likelihood deltas.
 
@@ -149,7 +149,7 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
                 tau=params.tau.at[pop].set(taunew))
         gen_prop = gen._replace(age=new_age)
         cond_prop, lnld_prop = full_rebuild_and_lnld(
-            gen_prop, seq, tables, use_pallas=use_pallas)
+            gen_prop, seq, tables)
         lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
         lnf0 = jnp.log(f0)
         lnf1 = jnp.log(f1) if not is_root else jnp.log(f0)
@@ -246,7 +246,7 @@ def _rubber_band_proposal(gen: GenState, params: Params, seq: SeqData,
     gen_prop = gen._replace(age=new_age,
                             mig_age=jnp.where(active, new_mage, gen.mig_age))
     cond_prop, lnld_prop = full_rebuild_and_lnld(
-        gen_prop, seq, tables, use_pallas=use_pallas)
+        gen_prop, seq, tables)
     lnp_prop = gen_log_prior(gen_prop, params_prop, ctx)
 
     lnf0 = jnp.log(f0)
@@ -261,7 +261,7 @@ def _select(cond, new, old):
 
 def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                 ctx: Context, finetunes_taus, lnld, lnp, cond,
-                num_pops: int, num_cur_pops: int, use_pallas: bool = False):
+                num_pops: int, num_cur_pops: int):
     """Sweep over ancestral pops (reference UpdateTau).
 
     finetunes_taus: [P] per-pop step sizes.  Returns
@@ -299,7 +299,7 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
          lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, False,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
-                                  tables, use_pallas)
+                                  tables)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
@@ -321,8 +321,7 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
 
 def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
                        ctx: Context, finetunes_taus, lnld, lnp, cond,
-                       num_cur_pops: int, update_mask,
-                       use_pallas: bool = False):
+                       num_cur_pops: int, update_mask):
     """Sweep over current pops with estimated sample ages
     (reference UpdateSampleAge).  update_mask: python list of bools."""
     P = params.tau.shape[0]
@@ -343,7 +342,7 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
          lnf0, lnf1) = \
             _rubber_band_proposal(gen, params, seq, ctx, pop, True,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
-                                  tables, use_pallas)
+                                  tables)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]

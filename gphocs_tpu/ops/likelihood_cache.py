@@ -175,38 +175,21 @@ def data_log_likelihood_cached(gen: GenState, seq: SeqData) -> jnp.ndarray:
 
 
 def full_rebuild_and_lnld(gen: GenState, seq: SeqData,
-                          tables: TopoTables | None = None,
-                          use_pallas: bool = False):
-    """Leaf init + full bottom-up rebuild (+ root reduce), optionally via
-    the fused Pallas kernel (all internal nodes marked dirty resolve in
-    exactly S-1 frontier trips)."""
-    if use_pallas:
-        L, N = gen.father.shape
-        S = (N + 1) // 2
-        dt = gen.age.dtype
-        leaf = leaf_conditionals(seq.leaf_base, dt)
-        cond = jnp.zeros((L, N) + leaf.shape[2:], dt).at[:, :S].set(leaf)
-        return refresh_and_lnld(cond, gen, seq,
-                                jnp.ones((N,), bool), tables,
-                                use_pallas=True)
+                          tables: TopoTables | None = None):
+    """Leaf init + full bottom-up rebuild (+ root reduce)."""
     cond = full_build(gen, seq, tables)
     return cond, lnld_from_cond(cond, gen, seq)
 
 
 def refresh_and_lnld(cond, gen: GenState, seq: SeqData, dirty0,
-                     tables: TopoTables | None = None,
-                     use_pallas: bool = False):
-    """Dirty refresh + root reduce; optionally via the fused Pallas TPU
-    kernel (ops/refresh_pallas.py — f32 only, single-device layouts).
+                     tables: TopoTables | None = None):
+    """Dirty refresh + root reduce (XLA path; the TPU production path is
+    the fused whole-sweep kernels in ops/sweeps_pallas.py).
 
-    The XLA path uses one-hot einsum selections; these REQUIRE full matmul
-    precision (set package-wide in gphocs_tpu/__init__.py) — the TPU
-    default rounds the conditionals through bfloat16 (measured ~2e-3
-    absolute error, vs ~1e-7 for exact-f32 selection).
+    The one-hot einsum selections REQUIRE full matmul precision (set
+    package-wide in gphocs_tpu/__init__.py) — the TPU default rounds the
+    conditionals through bfloat16 (measured ~2e-3 absolute error, vs
+    ~1e-7 for exact-f32 selection).
     """
-    if use_pallas and cond.dtype == jnp.float32:
-        from gphocs_tpu.ops.refresh_pallas import refresh_lnld_pallas
-
-        return refresh_lnld_pallas(cond, gen, seq, dirty0)
     cond = refresh(cond, gen, seq, dirty0, tables)
     return cond, lnld_from_cond(cond, gen, seq)

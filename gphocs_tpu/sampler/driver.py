@@ -123,18 +123,6 @@ class Sampler:
         self.chains = chains
         assert rng_mode in ("legacy", "fast")
         self.rng_mode = rng_mode
-        # fused Pallas dirty-refresh kernel (ops/refresh_pallas.py):
-        # opt-in (GPHOCS_PALLAS=1), single-TPU f32 only.  Verified
-        # numerically identical to the XLA refresh; in isolated sweep
-        # timings it wins (2.4x-5.8x vs a low-traffic XLA variant at 10K
-        # loci) but end-to-end chunks measure slower than the einsum
-        # frontier refresh (per-call dispatch + layout round-trips inside
-        # the iteration scan).  Kept as groundwork for whole-sweep fusion
-        # where those per-call costs amortize.
-        self.use_pallas = bool(
-            jax.default_backend() == "tpu" and mesh is None
-            and jnp.zeros((), dtype).dtype == jnp.float32
-            and os.environ.get("GPHOCS_PALLAS"))
         # whole-sweep fused Pallas kernels (ops/sweeps_pallas.py): the
         # production TPU path.  Fast-RNG mode only (the kernels reproduce
         # the counter-based streams in-kernel, draw-for-draw); XLA path
@@ -390,7 +378,6 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
-            use_pallas=self.use_pallas,
             use_fused=self.use_fused,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
@@ -422,7 +409,6 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
-            use_pallas=self.use_pallas and self.chains == 1,
             use_fused=self.use_fused and self.chains == 1,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))

@@ -73,7 +73,7 @@ class StepStats(NamedTuple):
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -83,7 +83,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    theta_on: bool = True, mig_rate_on: bool = True,
                    mixing_on: bool = True, var_rates: bool = False,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
-                   admix_on: bool = True, use_pallas: bool = False,
+                   admix_on: bool = True,
                    use_fused: bool = False, spr_on: bool = True,
                    tau_on: bool = True):
     """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
@@ -108,7 +108,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             else:
                 gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
                     gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp,
-                    cond, use_pallas=use_pallas)
+                    cond)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
             gen, lrng, lnp, a = update_mig_ages(
@@ -120,8 +120,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                     gen, params, seq, lrng, ctx, lnld, cond)
             else:
                 gen, lrng, lnld, cond, a = update_spr(
-                    gen, params, seq, lrng, ctx, lnld, cond,
-                    use_pallas=use_pallas)
+                    gen, params, seq, lrng, ctx, lnld, cond)
             acc_spr = acc_spr + a
             # SPR tracks only the data likelihood; refresh the prior
             lnp = gen_log_prior(gen, params, ctx)
@@ -148,7 +147,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     if tau_on:
         gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = \
             update_taus(gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
-                        cond, num_pops, num_cur_pops, use_pallas=use_pallas)
+                        cond, num_pops, num_cur_pops)
     else:
         acc_taus = jnp.zeros((num_pops,), jnp.int32)
         conflicts = jnp.zeros((), jnp.int32)
@@ -156,7 +155,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
             update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
                                lnld, lnp, cond, num_cur_pops,
-                               list(sample_age_mask), use_pallas=use_pallas)
+                               list(sample_age_mask))
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
 
@@ -170,7 +169,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         stats2 = full_stats(gen, params, ctx)
         gen, params, grng, lnld, lnp, cond, acc_mix = update_mixing(
             gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats2,
-            num_cur_pops, use_pallas=use_pallas)
+            num_cur_pops)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
 
@@ -206,7 +205,7 @@ class ChunkTrace(NamedTuple):
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -215,7 +214,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                theta_on: bool = True, mig_rate_on: bool = True,
                mixing_on: bool = True, var_rates: bool = False,
                locus_rate_on: bool = True, var_alpha: float = 1.0,
-               admix_on: bool = True, use_pallas: bool = False,
+               admix_on: bool = True,
                use_fused: bool = False, spr_on: bool = True,
                tau_on: bool = True):
     """Run n_iters full iterations in one compiled call (amortizes host
@@ -234,7 +233,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             theta_on=theta_on, mig_rate_on=mig_rate_on,
             mixing_on=mixing_on, var_rates=var_rates,
             locus_rate_on=locus_rate_on, var_alpha=var_alpha,
-            admix_on=admix_on, use_pallas=use_pallas,
+            admix_on=admix_on,
             use_fused=use_fused, spr_on=spr_on, tau_on=tau_on)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
@@ -257,7 +256,7 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_pallas", "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on"))
 def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains

@@ -43,7 +43,7 @@ def main():
                 rng_mode="fast")
     s.initialize()
     print("leaf_base:", s.seq.leaf_base.shape, "nodes:", s.gen.age.shape,
-        "pallas:", s.use_pallas)
+          "fused:", s.use_fused)
 
     from gphocs_tpu.sampler.step import mcmc_chunk
 
@@ -54,7 +54,6 @@ def main():
                    num_cur_pops=s.tree.num_cur_pops,
                    sample_age_mask=tuple(bool(b)
                                          for b in s.tree.update_sample_age),
-                   use_pallas=s.use_pallas,
                    use_fused=getattr(s, "use_fused", False))
 
     def run(**over):
