@@ -85,3 +85,79 @@ def update_locus_rates(gen: GenState, seq: SeqData, rng_state, finetune,
     (gen, rng_state, lnld, acc, dvar), _ = lax.scan(
         body, init, jnp.arange(L, dtype=jnp.int32))
     return gen, rng_state, lnld, acc, dvar
+
+
+def update_locus_rates_paired(gen: GenState, seq: SeqData, rng_state,
+                              finetune, lnld: jnp.ndarray, var_alpha,
+                              cond):
+    """Vectorized locus-rate kernel: random disjoint pairs, one step.
+
+    The reference couples every locus to reference locus 0, forcing an
+    L-step serial scan (src/GPhoCS.c:4598-4674).  This production kernel
+    targets the same constrained posterior (rates live on the simplex
+    sum r = L; each move transfers rate mass within a pair, exactly
+    preserving the sum): a random perfect matching is drawn each call,
+    every pair proposes one transfer, and all acceptances are independent
+    because no locus appears in two pairs.  One vectorized pruning pass
+    evaluates all proposed likelihoods (per-iteration cost independent of
+    L up to that single pass).  The serial kernel remains the conformance
+    path; marginal agreement is tested statistically
+    (tests/test_locus_rate_paired.py).
+
+    Returns (gen, rng_state, lnld, cond, accepted, rate_var_delta).
+    """
+    from gphocs_tpu.ops.likelihood_cache import full_build, lnld_from_cond
+
+    L = gen.num_loci
+    dt = lnld.dtype
+    mask = jnp.ones((L,), bool)
+
+    # random perfect matching: argsort of per-locus uniforms; rank 2m
+    # pairs with rank 2m+1 (odd L: the last-ranked locus sits out)
+    u_perm, rng_state = R.rndu(rng_state, mask)
+    order = jnp.argsort(u_perm)                       # [L] locus ids by rank
+    rank = jnp.argsort(order)                         # rank of each locus
+    mate_rank = jnp.where(rank % 2 == 0, rank + 1, rank - 1)
+    mate = order[jnp.clip(mate_rank, 0, L - 1)]       # partner locus id
+    paired = (mate_rank < L) & (mate != jnp.arange(L)) & gen.valid \
+        & gen.valid[mate]
+    is_lo = rank % 2 == 0                             # proposer of the pair
+
+    r = gen.mut_rate.astype(dt)
+    r_mate = r[mate]
+    z, rng_state = R.rnd2normal8(rng_state, mask)
+    # the lower-ranked member proposes; both members see mirrored values
+    z_pair = jnp.where(is_lo, z, z[mate])
+    r_self_lo = jnp.where(is_lo, r, r_mate)           # pair's proposer rate
+    total = r + r_mate
+    rnew_lo = reflect(r_self_lo + finetune * z_pair,
+                      jnp.zeros((), dt), total).astype(dt)
+    rnew = jnp.where(is_lo, rnew_lo, total - rnew_lo)
+    rnew = jnp.where(paired, rnew, r)
+
+    gen_prop = gen._replace(mut_rate=rnew)
+    cond_prop = full_build(gen_prop, seq)
+    lnld_prop = lnld_from_cond(cond_prop, gen_prop, seq)
+
+    dlnld_pair = (lnld_prop - lnld) + (lnld_prop - lnld)[mate]
+    lnacc = ((var_alpha - 1.0)
+             * jnp.log((rnew * rnew[mate]) / jnp.maximum(r * r_mate, 1e-300))
+             + dlnld_pair)
+    from gphocs_tpu.kernels.common import mh_accept
+
+    # one uniform per pair: both members read the proposer's draw
+    need = paired & (lnacc < 0.0)
+    u, rng_state = R.rndu(rng_state, need)
+    u_pair = jnp.where(is_lo, u, u[mate])
+    accept = paired & ((lnacc >= 0.0)
+                       | (u_pair < jnp.exp(jnp.minimum(lnacc, 0.0))))
+
+    new_rate = jnp.where(accept, rnew, gen.mut_rate)
+    gen = gen._replace(mut_rate=new_rate)
+    lnld_new = jnp.where(accept, lnld_prop, lnld)
+    cond_new = jnp.where(accept[:, None, None, None], cond_prop, cond)
+    # count accepted LOCI (both pair members), matching the serial
+    # kernel's denominator semantics in the acceptance log
+    acc = jnp.sum(accept.astype(jnp.int32), dtype=jnp.int32)
+    dvar = jnp.sum(jnp.where(accept, rnew**2 - r**2, 0.0)) / L
+    return gen, rng_state, lnld_new, cond_new, acc, dvar

@@ -125,12 +125,24 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             # SPR tracks only the data likelihood; refresh the prior
             lnp = gen_log_prior(gen, params, ctx)
         if var_rates and locus_rate_on:
-            gen, lrng, lnld, a, dv = update_locus_rates(
-                gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
+            from gphocs_tpu.rng_fast import FastRngState
+            if isinstance(lrng, FastRngState):
+                # production kernel: disjoint random pairs, one vector
+                # step (per-iteration cost independent of L up to one
+                # pruning pass); serial reference-coupled scan kept as
+                # the conformance path below
+                from gphocs_tpu.kernels.locus_rate import (
+                    update_locus_rates_paired)
+
+                gen, lrng, lnld, cond, a, dv = update_locus_rates_paired(
+                    gen, seq, lrng, ft.locus_rate, lnld, var_alpha, cond)
+            else:
+                gen, lrng, lnld, a, dv = update_locus_rates(
+                    gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
+                # rate moves change edge lengths globally: rebuild
+                cond = full_build(gen, seq)
             acc_lr = acc_lr + a
             dvar = dvar + dv
-            # rate moves change edge lengths globally: rebuild the cache
-            cond = full_build(gen, seq)
 
     stats = full_stats(gen, params, ctx)
     if theta_on:
