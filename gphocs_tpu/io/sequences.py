@@ -124,29 +124,21 @@ def read_seq_file(path: str, sample_names: List[str],
                          pattern_set=pset)
 
 
-def build_seq_data(raw: RawAlignments, is_diploid: List[bool],
-                   pad_patterns: Optional[int] = None,
-                   dtype=np.float64) -> SeqData:
-    """Phase het patterns per locus and assemble the padded SeqData tensors."""
+def _phase_all(raw: RawAlignments, is_diploid: List[bool]):
+    """Phase het patterns for every locus; returns the per-locus tuples."""
     pset = raw.pattern_set
-    L = raw.num_loci
-    S = len(is_diploid)
-
     per_locus = []
-    max_p = 1
-    for locus in range(L):
+    for locus in range(raw.num_loci):
         profile = pset.locus_profiles[locus]
         pats = [pset.patterns[pid] for pid, _ in profile]
         counts = [c for _, c in profile]
-        phased, gid, gcounts, gph = build_locus_phased(
-            pats, counts, is_diploid)
-        per_locus.append((phased, gid, gcounts, gph))
-        max_p = max(max_p, len(phased))
+        per_locus.append(build_locus_phased(pats, counts, is_diploid))
+    return per_locus
 
-    P = pad_patterns or max_p
-    if P < max_p:
-        raise ValueError(f"pad_patterns={P} below max patterns {max_p}")
 
+def _assemble(per_locus, S: int, P: int, dtype) -> SeqData:
+    """Assemble SeqData tensors padded to P phased patterns."""
+    L = len(per_locus)
     leaf_base = np.full((L, S, P), 4, np.int8)
     group_id = np.tile(np.arange(P, dtype=np.int32), (L, 1))
     group_count = np.zeros((L, P), dtype)
@@ -164,3 +156,46 @@ def build_seq_data(raw: RawAlignments, is_diploid: List[bool],
     return SeqData(leaf_base=leaf_base, group_id=group_id,
                    group_count=group_count, group_nphases=group_nphases,
                    pattern_valid=pattern_valid)
+
+
+def build_seq_data(raw: RawAlignments, is_diploid: List[bool],
+                   pad_patterns: Optional[int] = None,
+                   dtype=np.float64) -> SeqData:
+    """Phase het patterns per locus and assemble the padded SeqData tensors."""
+    per_locus = _phase_all(raw, is_diploid)
+    max_p = max([1] + [len(p[0]) for p in per_locus])
+    P = pad_patterns or max_p
+    if P < max_p:
+        raise ValueError(f"pad_patterns={P} below max patterns {max_p}")
+    return _assemble(per_locus, len(is_diploid), P, dtype)
+
+
+def build_seq_data_buckets(raw: RawAlignments, is_diploid: List[bool],
+                           num_buckets: int, dtype=np.float64):
+    """Bucketed assembly for ragged loci (the reference keeps exact
+    per-locus profiles, src/AlignmentProcessor.h:25-31; fixed-shape
+    tensors pad — bucketing pads only to each bucket's own max).
+
+    Loci are sorted by phased-pattern count and split into num_buckets
+    contiguous groups of near-equal size.  Returns
+    (perm, sizes, [SeqData per bucket]) where perm maps sorted position
+    -> original locus index (apply `arr[perm]` to reorder per-locus
+    arrays into bucket order).
+    """
+    per_locus = _phase_all(raw, is_diploid)
+    L = len(per_locus)
+    num_buckets = max(1, min(num_buckets, L))
+    counts = np.array([max(1, len(p[0])) for p in per_locus])
+    perm = np.argsort(counts, kind="stable")
+    bounds = np.linspace(0, L, num_buckets + 1).astype(int)
+    sizes, seqs = [], []
+    S = len(is_diploid)
+    for b in range(num_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi <= lo:
+            continue
+        sub = [per_locus[i] for i in perm[lo:hi]]
+        P = max(1, max(len(p[0]) for p in sub))
+        sizes.append(hi - lo)
+        seqs.append(_assemble(sub, S, P, dtype))
+    return perm, sizes, seqs

@@ -108,7 +108,8 @@ class Sampler:
     def __init__(self, cfg: RunConfig, seq_path: Optional[str] = None,
                  num_loci: Optional[int] = None, dtype=jnp.float64,
                  legacy_rng: bool = True, verbose: bool = False,
-                 mesh=None, chains: int = 1, rng_mode: str = "legacy"):
+                 mesh=None, chains: int = 1, rng_mode: str = "legacy",
+                 buckets: int = 1):
         """mesh: optional jax.sharding.Mesh with a 'loci' axis; per-locus
         state shards over it (loci padded to a device-count multiple with
         inert padding loci).  chains > 1 runs that many independent chains
@@ -123,6 +124,13 @@ class Sampler:
         self.chains = chains
         assert rng_mode in ("legacy", "fast")
         self.rng_mode = rng_mode
+        # pattern-axis bucketing for ragged loci (sampler/bucketed.py):
+        # pads each bucket only to its own max pattern count
+        self.buckets = max(1, buckets)
+        if self.buckets > 1:
+            assert rng_mode == "fast" and mesh is None and chains == 1, \
+                "bucketed mode requires fast RNG, single device, one chain"
+            assert not cfg.admixed, "bucketed mode: no admixture support"
         # whole-sweep fused Pallas kernels (ops/sweeps_pallas.py): the
         # production TPU path.  Fast-RNG mode only (the kernels reproduce
         # the counter-based streams in-kernel, draw-for-draw); XLA path
@@ -150,8 +158,21 @@ class Sampler:
                                 cfg.mcmc.num_loci)
             self.num_loci = raw.num_loci
             np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
-            self.seq: SeqData = build_seq_data(raw, cfg.is_diploid(),
-                                               dtype=np_dtype)
+            if self.buckets > 1:
+                from gphocs_tpu.io.sequences import build_seq_data_buckets
+
+                perm, sizes, seqs = build_seq_data_buckets(
+                    raw, cfg.is_diploid(), self.buckets, dtype=np_dtype)
+                self.bucket_perm = perm
+                self.bucket_sizes = sizes
+                self.seqs = tuple(SeqData(*[jnp.asarray(x) for x in s_])
+                                  for s_ in seqs)
+                # a dense (unbucketed) copy only for shape bookkeeping
+                self.seq: SeqData = build_seq_data(raw, cfg.is_diploid(),
+                                                   dtype=np_dtype)
+            else:
+                self.seq = build_seq_data(raw, cfg.is_diploid(),
+                                          dtype=np_dtype)
         else:
             # prior-only run (reference initLociWithoutData,
             # src/GPhoCS.c:447-483)
@@ -260,8 +281,43 @@ class Sampler:
                 jnp.zeros((self.num_loci,), self.dtype),
                 self.params, self.grng)
             self.ctx = jax.device_put(self.ctx, replicated(self.mesh))
-        self.cond, self.lnld, self.lnp = _init_device_state(
-            self.gen, self.params, self.seq, self.ctx)
+        if self.buckets > 1:
+            # slice the full state into buckets along the sorted-locus
+            # permutation; each bucket pads patterns only to its own max
+            perm = jnp.asarray(self.bucket_perm)
+            gperm = jax.tree_util.tree_map(
+                lambda a: a[perm] if (hasattr(a, "ndim") and a.ndim >= 1
+                                      and a.shape[0] == self.num_loci)
+                else a, self.gen)
+            keys = self.lrng.key[perm]
+            gens, lrngs, lnlds, lnps, conds = [], [], [], [], []
+            off = 0
+            from gphocs_tpu.rng_fast import FastRngState
+            for k, n in enumerate(self.bucket_sizes):
+                gk = jax.tree_util.tree_map(
+                    lambda a: a[off:off + n]
+                    if (hasattr(a, "ndim") and a.ndim >= 1
+                        and a.shape[0] == self.num_loci) else a, gperm)
+                lrngs.append(FastRngState(key=keys[off:off + n],
+                                          ctr=jnp.zeros((), jnp.uint32)))
+                ck, ldk, lpk = _init_device_state(
+                    gk, self.params, self.seqs[k], self.ctx)
+                gens.append(gk)
+                conds.append(ck)
+                lnlds.append(ldk)
+                lnps.append(lpk)
+                off += n
+            self.gens = tuple(gens)
+            self.lrngs = tuple(lrngs)
+            self.conds = tuple(conds)
+            self.lnlds = tuple(lnlds)
+            self.lnps = tuple(lnps)
+            self.lnld = jnp.concatenate(lnlds)
+            self.lnp = jnp.concatenate(lnps)
+            self.cond = None
+        else:
+            self.cond, self.lnld, self.lnp = _init_device_state(
+                self.gen, self.params, self.seq, self.ctx)
 
         ftc = cfg.mcmc.finetunes
         if cfg.mcmc.find_finetunes:
@@ -389,6 +445,29 @@ class Sampler:
         cfg = self.cfg
         sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
                                 [:self.tree.num_cur_pops])
+        if self.buckets > 1:
+            from gphocs_tpu.sampler.bucketed import mcmc_chunk_buckets
+
+            (self.gens, self.params, self.lrngs, self.grng, self.lnlds,
+             self.lnps, self.conds, stats, trace) = mcmc_chunk_buckets(
+                self.gens, self.params, self.seqs, self.lrngs, self.grng,
+                self.lnlds, self.lnps, self.conds, self.ft, ctx=self.ctx,
+                n_iters=n_iters,
+                genetree_samples=cfg.mcmc.genetree_samples,
+                do_migrate=do_migrate,
+                do_mixing=cfg.mcmc.do_mixing
+                and self.ft_search["mixing"].value > 0,
+                num_pops=self.tree.num_pops,
+                num_cur_pops=self.tree.num_cur_pops,
+                sample_age_mask=sample_age_mask,
+                var_rates=cfg.mcmc.mut_rate_mode == 1,
+                var_alpha=cfg.mcmc.var_rates_alpha,
+                use_fused=self.use_fused)
+            self.lnld = jnp.concatenate(self.lnlds)
+            self.lnp = jnp.concatenate(self.lnps)
+            self.rate_var += float(np.sum(np.asarray(
+                stats.rate_var_delta)))
+            return stats, trace
         chunk_fn = mcmc_chunk_chains if self.chains > 1 else mcmc_chunk
         (self.gen, self.params, self.lrng, self.grng, self.lnld, self.lnp,
          self.cond, stats, trace) = chunk_fn(
