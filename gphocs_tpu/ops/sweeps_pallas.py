@@ -151,13 +151,16 @@ def _refresh_path(cond_ref, age, lson, rson, father,
                   mut, start, nid, N, S, P, CPWP, dt):
     """Recompute conditionals along the path start -> root inside cond_ref.
 
-    start: [1, TL] int32 (or -1 to skip the lane).  Exactly S-1 masked
-    steps: every root path has <= S-1 internal nodes.  age/lson/rson/
-    father are [N, TL] VALUES holding the PROPOSED state.  Writes in
-    place.
+    start: [1, TL] int32 (or -1 to skip the lane).  At most S-1 masked
+    steps (every root path has <= S-1 internal nodes); the loop exits as
+    soon as all lanes are done, so typical cost is the max path length
+    in the tile (~log S).  age/lson/rson/father are [N, TL] VALUES
+    holding the PROPOSED state.  Writes in place.  Consumes no RNG, so
+    the data-dependent trip count does not affect stream positions.
     """
 
-    def step(cur):
+    def step(st):
+        cur, it = st
         act = cur >= 0
         ls = _gather_rows(lson, cur, nid).astype(jnp.int32)
         rs = _gather_rows(rson, cur, nid).astype(jnp.int32)
@@ -172,11 +175,11 @@ def _refresh_path(cond_ref, age, lson, rson, father,
             cond_ref[n * CPWP:(n + 1) * CPWP, :] = jnp.where(
                 m, blk, cond_ref[n * CPWP:(n + 1) * CPWP, :])
         nxt = _gather_rows(father, cur, nid).astype(jnp.int32)
-        return jnp.where(act, nxt, cur)
+        return jnp.where(act, nxt, cur), it + 1
 
-    cur = start
-    for _ in range(S - 1):
-        cur = step(cur)
+    lax.while_loop(
+        lambda st: (jnp.max(st[0]) >= 0) & (st[1] < S - 1),
+        step, (start, jnp.zeros((), jnp.int32)))
 
 
 def _root_lnld(cond_ref, root, gid_ref, gcount_ref, gnph_ref, pvalid_ref,
@@ -429,9 +432,19 @@ def _sweep_prep(gen: GenState, params: Params, ctx: Context):
                 theta_i=theta_i, tau0=tau0, tau1=tau1, pop_i=pop_i)
 
 
+def _pick_tile(N: int, CPWP: int, itemsize: int = 4,
+               budget: int = 8 * 1024 * 1024) -> int:
+    """Lane-tile size bounded by VMEM: two conditional buffers (working +
+    proposal scratch) must fit the budget."""
+    tl = 256
+    while tl > 128 and 2 * N * CPWP * tl * itemsize > budget:
+        tl //= 2
+    return tl
+
+
 def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
                           rng: FastRngState, ctx: Context, finetune,
-                          lnld, lnp, cond, *, tile: int = 256,
+                          lnld, lnp, cond, *, tile: int = 0,
                           interpret: bool = False):
     """Drop-in fused twin of kernels/node_age.update_internal_node_ages for
     fast-RNG mode.  Returns (gen, rng, lnld, lnp, cond, acc)."""
@@ -446,7 +459,7 @@ def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
     prep = _sweep_prep(gen, params, ctx)
     cond_cl, CPWP = _cl_layout(cond)
 
-    TL = tile
+    TL = tile or _pick_tile(N, CPWP)
     Lp = _round_up(L, TL)
     padL = Lp - L
 
@@ -1046,7 +1059,7 @@ def _spr_kernel(ctr_ref,
 
 def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
                      rng: FastRngState, ctx: Context, lnld, cond,
-                     *, tile: int = 256, interpret: bool = False):
+                     *, tile: int = 0, interpret: bool = False):
     """Drop-in fused twin of kernels/spr.update_spr for fast-RNG mode
     (no admixture).  Returns (gen, rng, lnld, cond, acc).
 
@@ -1065,7 +1078,7 @@ def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
     dt = gen.age.dtype
 
     cond_cl, CPWP = _cl_layout(cond)
-    TL = tile
+    TL = tile or _pick_tile(N, CPWP)
     Lp = _round_up(L, TL)
     padL = Lp - L
 
