@@ -8,9 +8,10 @@ import subprocess
 import sys
 import tempfile
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_ENABLE_X64"] = "true"
-os.environ["PYTHONPATH"] = ""
+if os.environ.get("GPHOCS_GOLDEN_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_ENABLE_X64"] = "true"
+    os.environ["PYTHONPATH"] = ""
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
@@ -105,7 +106,7 @@ MIG-BANDS-END
 
 def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
                    nl=100, boost=8.0, jax_chains=None, verbose=True,
-                   ctl_template=None):
+                   ctl_template=None, jax_kwargs=None):
     """Build/run pooled C and gphocs_tpu chains on the same simulated data;
     returns a list of per-parameter dicts with means, stds and the
     between-chain z score.  The committed conformance gate
@@ -163,7 +164,7 @@ def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
         if verbose:
             print(f"running gphocs_tpu chain {ch} ...")
         cfg.mcmc.random_seed = 1357 + 17 * ch
-        s = Sampler(cfg, seq_path=seq)
+        s = Sampler(cfg, seq_path=seq, **(jax_kwargs or {}))
         cols_j, rows_j = s.run()
         kj = rows_j[rows_j[:, 0] >= 0][rows_j.shape[0] // 3:]
         keep_j.append(kj)
