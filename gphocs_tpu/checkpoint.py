@@ -23,15 +23,42 @@ _FORMAT_VERSION = 1
 
 
 def save_checkpoint(sampler, path: str, iteration: int):
-    """Serialize the sampler's dynamic state."""
-    arrays = {}
-    for name, val in sampler.gen._asdict().items():
-        arrays[f"gen_{name}"] = np.asarray(val)
-    for name, val in sampler.params._asdict().items():
-        arrays[f"params_{name}"] = np.asarray(val)
+    """Serialize the sampler's dynamic state.
+
+    Bucketed samplers (pattern-axis bucketing, sampler/bucketed.py) hold
+    per-bucket state tuples; these serialize per bucket so a bucketed run
+    resumes bit-identically too."""
     from gphocs_tpu.rng_fast import FastRngState
 
-    for pfx, st in (("lrng", sampler.lrng), ("grng", sampler.grng)):
+    arrays = {}
+    buckets = getattr(sampler, "buckets", 1)
+    arrays["n_buckets"] = np.asarray(buckets)
+    if buckets > 1:
+        for k in range(buckets):
+            for name, val in sampler.gens[k]._asdict().items():
+                arrays[f"b{k}_gen_{name}"] = np.asarray(val)
+            arrays[f"b{k}_lrng_key"] = np.asarray(sampler.lrngs[k].key)
+            arrays[f"b{k}_lrng_ctr"] = np.asarray(sampler.lrngs[k].ctr)
+            arrays[f"b{k}_lnld"] = np.asarray(sampler.lnlds[k])
+            arrays[f"b{k}_lnp"] = np.asarray(sampler.lnps[k])
+            arrays[f"b{k}_cond"] = np.asarray(sampler.conds[k])
+    else:
+        for name, val in sampler.gen._asdict().items():
+            arrays[f"gen_{name}"] = np.asarray(val)
+        arrays["lnld"] = np.asarray(sampler.lnld)
+        arrays["lnp"] = np.asarray(sampler.lnp)
+        # carried conditionals: derivable from (gen, seq) but saved
+        # verbatim so a resumed chain is bit-identical to an
+        # uninterrupted one (a rebuild may differ in the last ulp from
+        # the incrementally-maintained values)
+        arrays["cond"] = np.asarray(sampler.cond)
+    for name, val in sampler.params._asdict().items():
+        arrays[f"params_{name}"] = np.asarray(val)
+
+    rngs = [("grng", sampler.grng)]
+    if buckets == 1:
+        rngs.insert(0, ("lrng", sampler.lrng))
+    for pfx, st in rngs:
         if isinstance(st, FastRngState):
             arrays[f"{pfx}_key"] = np.asarray(st.key)
             arrays[f"{pfx}_ctr"] = np.asarray(st.ctr)
@@ -39,12 +66,6 @@ def save_checkpoint(sampler, path: str, iteration: int):
             arrays[f"{pfx}_x"] = np.asarray(st.x)
             arrays[f"{pfx}_y"] = np.asarray(st.y)
             arrays[f"{pfx}_z"] = np.asarray(st.z)
-    arrays["lnld"] = np.asarray(sampler.lnld)
-    arrays["lnp"] = np.asarray(sampler.lnp)
-    # carried conditionals: derivable from (gen, seq) but saved verbatim so
-    # a resumed chain is bit-identical to an uninterrupted one (a rebuild
-    # may differ in the last ulp from the incrementally-maintained values)
-    arrays["cond"] = np.asarray(sampler.cond)
     arrays["iteration"] = np.asarray(iteration)
     arrays["rate_var"] = np.asarray(sampler.rate_var)
     arrays["format_version"] = np.asarray(_FORMAT_VERSION)
@@ -68,10 +89,6 @@ def load_checkpoint(sampler, path: str) -> int:
     data = np.load(path)
     assert int(data["format_version"]) == _FORMAT_VERSION
     cast = lambda a: jnp.asarray(a)  # noqa: E731
-    sampler.gen = GenState(**{
-        name: cast(data[f"gen_{name}"]) for name in GenState._fields})
-    sampler.params = Params(**{
-        name: cast(data[f"params_{name}"]) for name in Params._fields})
     from gphocs_tpu.rng_fast import FastRngState
 
     def _load_rng(pfx):
@@ -82,8 +99,44 @@ def load_checkpoint(sampler, path: str) -> int:
                           y=cast(data[f"{pfx}_y"]),
                           z=cast(data[f"{pfx}_z"]))
 
-    sampler.lrng = _load_rng("lrng")
+    n_buckets = int(data["n_buckets"]) if "n_buckets" in data else 1
+    sampler.params = Params(**{
+        name: cast(data[f"params_{name}"]) for name in Params._fields})
     sampler.grng = _load_rng("grng")
+    if n_buckets > 1:
+        assert getattr(sampler, "buckets", 1) == n_buckets, \
+            "checkpoint bucket count does not match the sampler"
+        import jax.numpy as _jnp
+
+        gens, lrngs, lnlds, lnps, conds = [], [], [], [], []
+        for k in range(n_buckets):
+            gens.append(GenState(**{
+                name: cast(data[f"b{k}_gen_{name}"])
+                for name in GenState._fields}))
+            lrngs.append(FastRngState(key=cast(data[f"b{k}_lrng_key"]),
+                                      ctr=cast(data[f"b{k}_lrng_ctr"])))
+            lnlds.append(cast(data[f"b{k}_lnld"]))
+            lnps.append(cast(data[f"b{k}_lnp"]))
+            conds.append(cast(data[f"b{k}_cond"]))
+        sampler.gens = tuple(gens)
+        sampler.lrngs = tuple(lrngs)
+        sampler.lnlds = tuple(lnlds)
+        sampler.lnps = tuple(lnps)
+        sampler.conds = tuple(conds)
+        sampler.lnld = _jnp.concatenate(lnlds)
+        sampler.lnp = _jnp.concatenate(lnps)
+        sampler.cond = None
+        sampler.rate_var = float(data["rate_var"])
+        for k, tracker in sampler.ft_search.items():
+            v = data[f"ft_{k}"]
+            tracker.value, tracker.lo, tracker.hi = map(float, v)
+        for t, row in zip(sampler.ft_taus, data["ft_taus"]):
+            t.value, t.lo, t.hi = map(float, row)
+        sampler._update_ft_device()
+        return int(data["iteration"])
+    sampler.gen = GenState(**{
+        name: cast(data[f"gen_{name}"]) for name in GenState._fields})
+    sampler.lrng = _load_rng("lrng")
     sampler.lnld = cast(data["lnld"])
     sampler.lnp = cast(data["lnp"])
     if "cond" in data:

@@ -29,10 +29,22 @@ def main(argv=None):
     ap.add_argument("--production-rng", action="store_true",
                     help="use de-correlated per-locus RNG streams instead "
                          "of the reference-compatible identical seeding")
-    ap.add_argument("--fast-rng", action="store_true",
+    ap.add_argument("--fast-rng", action="store_true", default=None,
                     help="loop-free counter-based RNG streams (production "
                          "mode; statistically but not bitwise equivalent "
-                         "to the reference's stream consumption)")
+                         "to the reference's stream consumption).  DEFAULT "
+                         "on TPU — the benchmark configuration (fast RNG + "
+                         "fused whole-sweep kernels) is what "
+                         "`python -m gphocs_tpu run.ctl` executes there")
+    ap.add_argument("--legacy-rng", action="store_true",
+                    help="force the reference-conformance mode "
+                         "(Wichmann-Hill streams, bit-compatible "
+                         "consumption; the CPU default)")
+    ap.add_argument("--buckets", type=int, default=1, metavar="K",
+                    help="pattern-axis bucketing for ragged loci: sort "
+                         "loci by pattern count into K buckets, each "
+                         "padded only to its own max (single device, "
+                         "fast RNG, one chain)")
     ap.add_argument("--debug-check", action="store_true",
                     help="run the checkAll-analogue state invariants at "
                          "every log point (reference GPhoCS.c:1814)")
@@ -77,15 +89,34 @@ def main(argv=None):
         mesh = make_mesh()
 
     cfg = parse_control_file(args.control_file, args.secondary_control)
+    # mode resolution: TPU defaults to the PRODUCTION configuration (fast
+    # RNG + fused kernels — the exact path bench.py measures); CPU
+    # defaults to the conformance mode (legacy RNG, f64).  --legacy-rng /
+    # --fast-rng override explicitly; contradictions raise.
+    if args.legacy_rng and args.fast_rng:
+        ap.error("--legacy-rng and --fast-rng are mutually exclusive")
+    if args.fast_rng is None and not args.legacy_rng:
+        fast = platform == "tpu"
+    else:
+        fast = bool(args.fast_rng) and not args.legacy_rng
+    if args.buckets > 1 and (args.mesh or args.distributed
+                             or args.chains > 1 or not fast):
+        ap.error("--buckets requires fast RNG, a single device and one "
+                 "chain (see the support matrix in README.md)")
     print(f"gphocs_tpu on {platform} "
           f"({len(jax.devices())} device(s)), "
-          f"{'float64' if use_x64 else 'float32'}")
+          f"{'float64' if use_x64 else 'float32'}, "
+          f"{'fast' if fast else 'legacy'} RNG")
     t0 = time.time()
     sampler = Sampler(cfg, dtype=jnp.float64 if use_x64 else jnp.float32,
                       legacy_rng=not args.production_rng,
                       verbose=args.verbose, mesh=mesh,
                       chains=args.chains,
-                      rng_mode="fast" if args.fast_rng else "legacy")
+                      rng_mode="fast" if fast else "legacy",
+                      buckets=args.buckets)
+    if platform == "tpu" and not sampler.use_fused and fast:
+        print("note: fused kernels disabled (GPHOCS_FUSED=0 or f64)",
+              file=sys.stderr)
     print(f"{sampler.num_loci} loci, {cfg.num_samples} samples, "
           f"{cfg.num_pops} pops, {len(cfg.bands)} migration band(s); "
           f"{cfg.num_parameters()} parameters")

@@ -149,6 +149,22 @@ def last_mig_below(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):
     return jnp.max(jnp.where(on, gen.mig_age, small), axis=1)
 
 
+def maybe_psum(x, loci_axis):
+    """all-reduce over the loci mesh axis inside shard_map; identity
+    outside.  These are the TPU twins of the reference's `omp atomic`
+    accumulators (src/GPhoCS.c:2413-2424) — every global accept/reject
+    decision depends only on such reductions (SURVEY §5)."""
+    if loci_axis is None:
+        return x
+    return jax.lax.psum(x, loci_axis)
+
+
+def maybe_pmax(x, loci_axis):
+    if loci_axis is None:
+        return x
+    return jax.lax.pmax(x, loci_axis)
+
+
 def mh_accept(rng_state, lnacc: jnp.ndarray, mask: jnp.ndarray):
     """Vectorized MH decision mirroring the reference's short-circuit:
     the uniform is only consumed when lnacceptance < 0

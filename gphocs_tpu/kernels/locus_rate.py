@@ -89,7 +89,7 @@ def update_locus_rates(gen: GenState, seq: SeqData, rng_state, finetune,
 
 def update_locus_rates_paired(gen: GenState, seq: SeqData, rng_state,
                               finetune, lnld: jnp.ndarray, var_alpha,
-                              cond):
+                              cond, loci_axis=None):
     """Vectorized locus-rate kernel: random disjoint pairs, one step.
 
     The reference couples every locus to reference locus 0, forcing an
@@ -158,6 +158,16 @@ def update_locus_rates_paired(gen: GenState, seq: SeqData, rng_state,
     cond_new = jnp.where(accept[:, None, None, None], cond_prop, cond)
     # count accepted LOCI (both pair members), matching the serial
     # kernel's denominator semantics in the acceptance log
-    acc = jnp.sum(accept.astype(jnp.int32), dtype=jnp.int32)
-    dvar = jnp.sum(jnp.where(accept, rnew**2 - r**2, 0.0)) / L
+    from gphocs_tpu.kernels.common import maybe_psum
+
+    # under shard_map pairs form within each loci shard (the matching is
+    # a free choice of the kernel; per-pair rate-sum conservation keeps
+    # the global mean-1 constraint exact); the variance accumulator and
+    # acceptance count reduce over the axis, with the global L in the
+    # denominator
+    L_total = L if loci_axis is None else L * jax.lax.axis_size(loci_axis)
+    acc = maybe_psum(jnp.sum(accept.astype(jnp.int32), dtype=jnp.int32),
+                     loci_axis)
+    dvar = maybe_psum(jnp.sum(jnp.where(accept, rnew**2 - r**2, 0.0)),
+                      loci_axis) / L_total
     return gen, rng_state, lnld_new, cond_new, acc, dvar

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gphocs_tpu import rng as R
-from gphocs_tpu.kernels.common import Context, scalar_mh_accept
+from gphocs_tpu.kernels.common import Context, maybe_psum, scalar_mh_accept
 from gphocs_tpu.ops.coalstats import CoalStats
 from gphocs_tpu.ops.likelihood_cache import (
     full_rebuild_and_lnld,
@@ -30,14 +30,16 @@ from gphocs_tpu.state import GenState, Params, SeqData
 
 def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
                   ctx: Context, finetune, lnld, lnp, cond, stats: CoalStats,
-                  num_cur_pops: int):
+                  num_cur_pops: int, loci_axis=None):
     """Returns (gen, params, rng_state, lnld, lnp, cond, accepted)."""
     z, rng_state = R.general_draw_2normal8(rng_state)
     lnc = (finetune * z).astype(lnld.dtype)
     c = jnp.exp(lnc)
 
-    ncoal_tot = jnp.sum(stats.num_coals).astype(lnld.dtype)
-    nmig_tot = jnp.sum(stats.num_migs).astype(lnld.dtype)
+    ncoal_tot = maybe_psum(jnp.sum(stats.num_coals).astype(lnld.dtype),
+                           loci_axis)
+    nmig_tot = maybe_psum(jnp.sum(stats.num_migs).astype(lnld.dtype),
+                          loci_axis)
     num_events = ncoal_tot + nmig_tot
     P = ctx.num_pops
     B = ctx.num_bands
@@ -73,7 +75,7 @@ def update_mixing(gen: GenState, params: Params, seq: SeqData, rng_state,
                                   sample_age=sa_new, mig_rate=m_new)
     cond_prop, lnld_prop = full_rebuild_and_lnld(
         gen_prop, seq, make_tables(gen))
-    data_delta = jnp.sum(lnld_prop - lnld)
+    data_delta = maybe_psum(jnp.sum(lnld_prop - lnld), loci_axis)
     lnacc = lnacc + gen_delta + data_delta
 
     accept, rng_state = scalar_mh_accept(rng_state, lnacc)

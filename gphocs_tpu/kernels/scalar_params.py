@@ -20,13 +20,15 @@ from jax import lax
 
 from gphocs_tpu import rng as R
 from gphocs_tpu.constants import MIN_MIG_RATE
-from gphocs_tpu.kernels.common import Context, full_stats, scalar_mh_accept
+from gphocs_tpu.kernels.common import (Context, full_stats, maybe_psum,
+                                       scalar_mh_accept)
 from gphocs_tpu.ops.coalstats import CoalStats
 from gphocs_tpu.state import GenState, Params
 
 
 def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
-                  finetune, lnp: jnp.ndarray, stats: CoalStats):
+                  finetune, lnp: jnp.ndarray, stats: CoalStats,
+                  loci_axis=None):
     """Sweep over all populations (sequential, general stream).
 
     stats: current sufficient statistics (unchanged by this update).
@@ -41,8 +43,9 @@ def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
     from gphocs_tpu.rng_fast import FastRngState
 
     P = ctx.num_pops
-    ncoal_tot = jnp.sum(stats.num_coals, axis=0).astype(lnp.dtype)   # [P]
-    coal_tot = jnp.sum(stats.coal_stats, axis=0)                     # [P]
+    ncoal_tot = maybe_psum(
+        jnp.sum(stats.num_coals, axis=0).astype(lnp.dtype), loci_axis)  # [P]
+    coal_tot = maybe_psum(jnp.sum(stats.coal_stats, axis=0), loci_axis)
 
     if isinstance(rng_state, FastRngState):
         from gphocs_tpu import rng_fast as RF
@@ -92,15 +95,17 @@ def update_thetas(gen: GenState, params: Params, rng_state, ctx: Context,
 
 
 def update_mig_rates(gen: GenState, params: Params, rng_state, ctx: Context,
-                     finetune, lnp: jnp.ndarray, stats: CoalStats):
+                     finetune, lnp: jnp.ndarray, stats: CoalStats,
+                     loci_axis=None):
     """Sweep over all migration bands (reference :3115-3212)."""
     from gphocs_tpu.rng_fast import FastRngState
 
     B = ctx.num_bands
     if B == 0:
         return params, rng_state, lnp, jnp.zeros((), jnp.int32)
-    nmig_tot = jnp.sum(stats.num_migs, axis=0).astype(lnp.dtype)  # [B]
-    mig_tot = jnp.sum(stats.mig_stats, axis=0)                    # [B]
+    nmig_tot = maybe_psum(
+        jnp.sum(stats.num_migs, axis=0).astype(lnp.dtype), loci_axis)  # [B]
+    mig_tot = maybe_psum(jnp.sum(stats.mig_stats, axis=0), loci_axis)
 
     if isinstance(rng_state, FastRngState):
         # exactly parallelizable across bands (per-band stats only; see

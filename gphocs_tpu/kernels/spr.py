@@ -302,11 +302,21 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         k = jnp.argmax(reached, axis=1)
         exits = ~jnp.any(reached, axis=1)                        # past OLDAGE
         koh = (jnp.arange(cum.shape[1])[None, :] == k[:, None])  # [L, K]
-        prev_cum = jnp.sum(jnp.where(koh, cum, 0), axis=1) - \
-            jnp.sum(jnp.where(koh, hz, 0), axis=1)
+        # exclusive prefix looked up directly — computing cum_k - hz_k
+        # instead suffers catastrophic cancellation when hz_k is huge
+        # (the [root age, OLDAGE] segment has hazard ~ rate * 1e3; its f32
+        # quantum is O(1), so E - prev_cum went negative by O(1) and
+        # t_event landed BELOW the segment, committing coalescences under
+        # the start age / outside the segment's population — the round-3
+        # GOLDEN_FUSED f32 bias)
+        ecum = jnp.concatenate([jnp.zeros((L, 1), dt), cum[:, :-1]], axis=1)
+        prev_cum = jnp.sum(jnp.where(koh, ecum, 0), axis=1)
         rate_k = jnp.sum(jnp.where(koh, rate, 0), axis=1)
         lo_k = jnp.sum(jnp.where(koh, lo, 0), axis=1)
+        hi_k = jnp.sum(jnp.where(koh, hi, 0), axis=1)
         t_event = lo_k + (E - prev_cum) / jnp.maximum(rate_k, 1e-300)
+        # belt-and-braces: the event must lie inside its own segment
+        t_event = jnp.clip(t_event, lo_k, hi_k)
         pop_k = jnp.einsum("lk,lkp->lp", koh.astype(dt), hit_f)  # [L, P] oh
         migr_k = jnp.sum(jnp.where(koh, mig_rate, 0), axis=1)
 

@@ -42,6 +42,7 @@ from gphocs_tpu.kernels.common import (
     Context,
     band_windows,
     gen_log_prior,
+    maybe_psum,
     scalar_mh_accept,
 )
 from gphocs_tpu.ops.likelihood_cache import (
@@ -261,7 +262,7 @@ def _select(cond, new, old):
 
 def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                 ctx: Context, finetunes_taus, lnld, lnp, cond,
-                num_pops: int, num_cur_pops: int):
+                num_pops: int, num_cur_pops: int, loci_axis=None):
     """Sweep over ancestral pops (reference UpdateTau).
 
     finetunes_taus: [P] per-pop step sizes.  Returns
@@ -303,7 +304,8 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
-                 + jnp.sum(lnld_p - lnld) + jnp.sum(lnp_p - lnp)
+                 + maybe_psum(jnp.sum(lnld_p - lnld), loci_axis)
+                 + maybe_psum(jnp.sum(lnp_p - lnp), loci_axis)
                  + ntj0 * lnf0 + ntj1 * lnf1)
         accept, rng_state = scalar_mh_accept(rng_state, lnacc, conflict)
 
@@ -319,9 +321,125 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
     return gen, params, rng_state, lnld, lnp, cond, accepted, conflicts
 
 
+def update_taus_fused(gen: GenState, params: Params, seq: SeqData,
+                      rng_state, ctx: Context, finetunes_taus, lnld, lnp,
+                      cond, num_pops: int, num_cur_pops: int,
+                      interpret: bool = False, loci_axis=None):
+    """Fused-production twin of update_taus: identical control flow and
+    general-stream RNG consumption, with the per-locus proposal
+    evaluation (remap + conflicts + rebuild + prior) in one VMEM-resident
+    Pallas call per population (ops/sweeps_pallas.rubber_band_eval_pallas).
+    """
+    from gphocs_tpu.ops.sweeps_pallas import rubber_band_eval_pallas
+
+    accepted = jnp.zeros((num_pops,), jnp.int32)
+    conflicts = jnp.zeros((), jnp.int32)
+    for pop in range(num_cur_pops, num_pops):
+        is_root = pop == num_pops - 1
+        sons = ctx.pop_sons[pop]
+        tauold = params.tau[pop]
+        taub0 = jnp.maximum(
+            jnp.maximum(params.tau[sons[0]], params.tau[sons[1]]),
+            jnp.maximum(params.sample_age[sons[0]],
+                        params.sample_age[sons[1]]))
+        taub1 = (jnp.asarray(ctx.oldage, lnld.dtype) if is_root
+                 else params.tau[ctx.father_pop[pop]])
+        if ctx.num_bands > 0:
+            bs, be = band_windows(ctx, params.tau)
+            src, tgt = ctx.band_source, ctx.band_target
+            touch_anc = (src == pop) | (tgt == pop)
+            touch_son = (~touch_anc & ((src == sons[0]) | (src == sons[1]) |
+                                       (tgt == sons[0]) | (tgt == sons[1])))
+            taub1 = jnp.minimum(taub1, jnp.min(jnp.where(touch_anc, be,
+                                                         jnp.inf)))
+            taub0 = jnp.maximum(taub0, jnp.max(jnp.where(touch_son, bs,
+                                                         -jnp.inf)))
+
+        z, rng_state = R.general_draw_2normal8(rng_state)
+        taunew = reflect(tauold + finetunes_taus[pop] * z,
+                         taub0, taub1).astype(lnld.dtype)
+
+        (age_p, mag_p, cond_p, lnld_p, lnp_p, ntj0, ntj1, conflict) = \
+            rubber_band_eval_pallas(gen, params, seq, ctx, pop, False,
+                                    taub0, taub1, tauold, taunew, cond,
+                                    interpret=interpret)
+        params_p = params._replace(tau=params.tau.at[pop].set(taunew))
+        lnf0 = jnp.log((taunew - taub0) / (tauold - taub0))
+        lnf1 = lnf0 if is_root else jnp.log((taunew - taub1)
+                                            / (tauold - taub1))
+
+        lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
+                 - (taunew - tauold) * ctx.tau_beta[pop]
+                 + maybe_psum(jnp.sum(lnld_p - lnld), loci_axis)
+                 + maybe_psum(jnp.sum(lnp_p - lnp), loci_axis)
+                 + ntj0 * lnf0 + ntj1 * lnf1)
+        accept, rng_state = scalar_mh_accept(rng_state, lnacc, conflict)
+
+        gen = gen._replace(
+            age=_select(accept, age_p, gen.age),
+            mig_age=_select(accept, mag_p, gen.mig_age))
+        params = jax.tree_util.tree_map(lambda n, o: _select(accept, n, o),
+                                        params_p, params)
+        cond = _select(accept, cond_p, cond)
+        lnld = _select(accept, lnld_p, lnld)
+        lnp = _select(accept, lnp_p, lnp)
+        accepted = accepted.at[pop].add(accept.astype(jnp.int32))
+        conflicts = conflicts + conflict.astype(jnp.int32)
+    return gen, params, rng_state, lnld, lnp, cond, accepted, conflicts
+
+
+def update_sample_ages_fused(gen: GenState, params: Params, seq: SeqData,
+                             rng_state, ctx: Context, finetunes_taus, lnld,
+                             lnp, cond, num_cur_pops: int, update_mask,
+                             interpret: bool = False, loci_axis=None):
+    """Fused twin of update_sample_ages (same kernel, sample-age mode)."""
+    from gphocs_tpu.ops.sweeps_pallas import rubber_band_eval_pallas
+
+    P = params.tau.shape[0]
+    accepted = jnp.zeros((P,), jnp.int32)
+    conflicts = jnp.zeros((), jnp.int32)
+    for pop in range(num_cur_pops):
+        if not update_mask[pop]:
+            continue
+        tauold = params.sample_age[pop]
+        taub0 = jnp.zeros((), lnld.dtype)
+        taub1 = params.tau[ctx.father_pop[pop]]
+        z, rng_state = R.general_draw_2normal8(rng_state)
+        taunew = reflect(tauold + finetunes_taus[pop] * z,
+                         taub0, taub1).astype(lnld.dtype)
+
+        (age_p, mag_p, cond_p, lnld_p, lnp_p, ntj0, ntj1, conflict) = \
+            rubber_band_eval_pallas(gen, params, seq, ctx, pop, True,
+                                    taub0, taub1, tauold, taunew, cond,
+                                    interpret=interpret)
+        params_p = params._replace(
+            sample_age=params.sample_age.at[pop].set(taunew))
+        lnf0 = jnp.log((taunew - taub0) / (tauold - taub0))
+        lnf1 = jnp.log((taunew - taub1) / (tauold - taub1))
+
+        lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
+                 - (taunew - tauold) * ctx.tau_beta[pop]
+                 + maybe_psum(jnp.sum(lnld_p - lnld), loci_axis)
+                 + maybe_psum(jnp.sum(lnp_p - lnp), loci_axis)
+                 + ntj0 * lnf0 + ntj1 * lnf1)
+        accept, rng_state = scalar_mh_accept(rng_state, lnacc, conflict)
+
+        gen = gen._replace(
+            age=_select(accept, age_p, gen.age),
+            mig_age=_select(accept, mag_p, gen.mig_age))
+        params = jax.tree_util.tree_map(lambda n, o: _select(accept, n, o),
+                                        params_p, params)
+        cond = _select(accept, cond_p, cond)
+        lnld = _select(accept, lnld_p, lnld)
+        lnp = _select(accept, lnp_p, lnp)
+        accepted = accepted.at[pop].add(accept.astype(jnp.int32))
+        conflicts = conflicts + conflict.astype(jnp.int32)
+    return gen, params, rng_state, lnld, lnp, cond, accepted, conflicts
+
+
 def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
                        ctx: Context, finetunes_taus, lnld, lnp, cond,
-                       num_cur_pops: int, update_mask):
+                       num_cur_pops: int, update_mask, loci_axis=None):
     """Sweep over current pops with estimated sample ages
     (reference UpdateSampleAge).  update_mask: python list of bools."""
     P = params.tau.shape[0]
@@ -346,7 +464,8 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
-                 + jnp.sum(lnld_p - lnld) + jnp.sum(lnp_p - lnp)
+                 + maybe_psum(jnp.sum(lnld_p - lnld), loci_axis)
+                 + maybe_psum(jnp.sum(lnp_p - lnp), loci_axis)
                  + ntj0 * lnf0 + ntj1 * lnf1)
         accept, rng_state = scalar_mh_accept(rng_state, lnacc, conflict)
 

@@ -84,16 +84,28 @@ class CoalStats(NamedTuple):
 
 
 def segments(gen: GenState, band_source: jnp.ndarray,
-             oldage: float = OLDAGE) -> Segments:
-    """Build the segment set.  band_source: [B] int32 source pop per band."""
+             oldage: float = OLDAGE, root_cap: jnp.ndarray = None
+             ) -> Segments:
+    """Build the segment set.  band_source: [B] int32 source pop per band.
+
+    root_cap: optional [L] ceiling for the root's virtual edge instead of
+    OLDAGE.  Any cap >= max(all other segment ends, band-window ends) is
+    EXACT: no pairwise overlap or band window exists above it.  Callers
+    that difference intervals (sufficient statistics) must pass a tight
+    cap — at f32, ulp(OLDAGE=999) is 6e-5, LARGER than typical stats, so
+    root-pop statistics computed against the raw OLDAGE cap quantize to
+    garbage (the round-4 f32 root-theta bias).
+    """
     L, N = gen.father.shape
     M = gen.max_migs
 
-    # top of each full edge: father age, or OLDAGE for the root edge
+    # top of each full edge: father age, or the (capped) root ceiling
     fa = gen.father
     fa_safe = jnp.where(fa < 0, 0, fa)
+    top_root = (jnp.asarray(oldage, gen.age.dtype) if root_cap is None
+                else root_cap[:, None].astype(gen.age.dtype))
     edge_top = jnp.where(
-        fa < 0, jnp.asarray(oldage, gen.age.dtype),
+        fa < 0, top_root,
         jnp.take_along_axis(gen.age, fa_safe, axis=1),
     )  # [L, N]
 
@@ -172,7 +184,14 @@ def sufficient_stats(gen: GenState, params: Params,
     """
     P = params.theta.shape[0]
     S = gen.num_samples
-    segs = segments(gen, band_source, oldage)
+    # tight root-edge cap: above max(node ages, band ends, taus) there is
+    # no overlap partner and no band window, so the statistics are exact
+    # while interval arithmetic stays at f32-friendly magnitudes
+    cap = jnp.maximum(jnp.max(gen.age, axis=1),
+                      jnp.max(params.tau) if params.tau.shape[0] else 0.0)
+    if band_end.shape[0] > 0:
+        cap = jnp.maximum(cap, jnp.max(band_end))
+    segs = segments(gen, band_source, oldage, root_cap=cap)
 
     pop_end = jnp.where(father_pop < 0, jnp.asarray(oldage, params.tau.dtype),
                         params.tau[jnp.where(father_pop < 0, 0, father_pop)])

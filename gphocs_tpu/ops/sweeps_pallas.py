@@ -484,7 +484,7 @@ def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
         bs_a = jnp.broadcast_to(bs[:, None], (B, Lp)).astype(dt)
         be_a = jnp.broadcast_to(be[:, None], (B, Lp)).astype(dt)
         br_a = jnp.broadcast_to(params.mig_rate[:, None], (B, Lp)).astype(dt)
-        binto = (ctx.band_target[None, :, None]
+        binto = (ctx.band_target[None, None, :]
                  == prep["pop_i"][:, :, None]).astype(dt)      # [L, NI, B]
     else:
         bs_a = jnp.zeros((1, Lp), dt)
@@ -525,7 +525,7 @@ def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
         mat(seq.group_nphases.astype(dt)),
         mat(seq.pattern_valid.astype(dt)),
         row(rng.key[:L], jnp.uint32),
-        row(jnp.ones((L,), jnp.int32), jnp.int32),
+        row(gen.valid, jnp.int32),
         row(lnld), row(lnp),
         padr(cond_cl),
     )
@@ -571,6 +571,775 @@ def node_age_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
     acc = jnp.sum(acc_o[0, :L], dtype=jnp.int32)
     rng = rng._replace(ctr=rng.ctr + jnp.uint32(4 * NI))
     return gen, rng, lnld_new, lnp_new, cond_new, acc
+
+
+# --------------------------------------------------------------------------
+# Kernel 3: full migration-age sweep (UpdateGB_MigrationNode)
+# --------------------------------------------------------------------------
+
+def _mig_age_kernel(ctr_ref, ft_ref,
+                    mag_in, mbr_ref, mbd_ref,
+                    age_ref, father_ref, pop_ref,
+                    theta_ref, tau_ref, pend_ref, anc_ref,
+                    bs_ref, be_ref, brate_ref, bsrc_ref, btgt_ref,
+                    key_ref, real_ref, lnp_ref,
+                    # outputs
+                    mag_out, lnp_out, acc_ref,
+                    *, N, M, B, PP, oldage):
+    """One loci tile, full migration-age sweep (prior-only arithmetic).
+
+    Sequential over the M slots (the reference sweeps its living_mignodes
+    list, src/GPhoCS.c:2439-2590); per-slot genealogy-prior delta is the
+    in-VMEM twin of ops/coalstats.mig_age_move_delta (itself the tensor
+    twin of the paired considerEventMove walks, src/patch.c:1434-1530).
+    RNG consumption: 4 draws per slot (3 proposal + 1 accept), identical
+    to the XLA fast-RNG path.
+    """
+    dt = mag_in.dtype
+    TL = mag_in.shape[1]
+    nid = lax.broadcasted_iota(jnp.int32, (N, TL), 0)
+    oa = jnp.asarray(oldage, dt)
+    big = jnp.asarray(_BIG, dt)
+
+    mag_out[:] = mag_in[:]
+    lnp_out[:] = lnp_ref[:]
+    acc_ref[:] = jnp.zeros((1, TL), jnp.int32)
+
+    key = key_ref[:]
+    ctr0 = ctr_ref[0, 0]
+    ft = ft_ref[0, 0]
+    real = real_ref[:] > 0
+    mbr = mbr_ref[:].astype(jnp.int32)          # [M, TL] static this sweep
+    mbd = mbd_ref[:].astype(jnp.int32)
+    act = mbr >= 0
+    npop = pop_ref[:].astype(jnp.int32)
+    father = father_ref[:].astype(jnp.int32)
+    age = age_ref[:]
+
+    # static-per-sweep per-edge tops (ages/topology unchanged here)
+    top_rows = []
+    for n in range(N):
+        fa_n = father[n:n + 1, :]
+        t_fa = _gather_rows(age, jnp.maximum(fa_n, 0), nid)
+        top_rows.append(jnp.where(fa_n < 0, oa, t_fa))
+    top = jnp.concatenate(top_rows, axis=0)     # [N, TL]
+
+    def band_sel(band, tbl):
+        """tbl[band[l], l] for a [B, TL] table and [1, TL] band index."""
+        out = jnp.zeros((1, TL), tbl.dtype)
+        for b_ in range(B):
+            out = jnp.where(band == b_, tbl[b_:b_ + 1, :], out)
+        return out
+
+    # base pop of each migration segment (bands are static)
+    src_pop_m = jnp.zeros((M, TL), jnp.int32)
+    for b_ in range(B):
+        src_pop_m = jnp.where(
+            mbd == b_,
+            jnp.broadcast_to(bsrc_ref[b_:b_ + 1, :].astype(jnp.int32),
+                             (M, TL)), src_pop_m)
+
+    for m in range(M):
+        mag = mag_out[:]
+        act_m = act[m:m + 1, :] & real
+        band = jnp.where(act_m, mbd[m:m + 1, :], 0)
+        t = mag[m:m + 1, :]
+        branch = jnp.where(act_m, mbr[m:m + 1, :], 0)
+
+        tb0 = band_sel(band, bs_ref[:])
+        tb1 = band_sel(band, be_ref[:])
+        # neighbouring migration events on the same branch
+        others = act & (mbr == branch)
+        others = others & (lax.broadcasted_iota(jnp.int32, (M, TL), 0) != m)
+        below = others & (mag < t)
+        above = others & (mag > t)
+        lm = jnp.max(jnp.where(below, mag, -big), axis=0, keepdims=True)
+        fm = jnp.min(jnp.where(above, mag, big), axis=0, keepdims=True)
+        child_age = _gather_rows(age, branch, nid)
+        fa_b = _gather_rows(father, branch, nid).astype(jnp.int32)
+        fa_age = jnp.where(fa_b < 0, oa,
+                           _gather_rows(age, jnp.maximum(fa_b, 0), nid))
+        tb0 = jnp.maximum(tb0, jnp.where(lm > -big * 0.5, lm, child_age))
+        tb1 = jnp.minimum(tb1, jnp.where(fm < big * 0.5, fm, fa_age))
+
+        off = (4 * m) * jnp.ones((1, TL), jnp.int32)
+        z = _rnd2normal8(key, ctr0, off, dt)
+        tnew = _reflect(t + ft * z, tb0, tb1)
+        tiny = jnp.abs(tnew - t) < 1e-15
+
+        # -- closed-form prior delta (mig_age_move_delta twin) --
+        s_pop = band_sel(band, bsrc_ref[:]).astype(jnp.int32)
+        p_pop = band_sel(band, btgt_ref[:]).astype(jnp.int32)
+        up = tnew > t
+        A = jnp.where(up, p_pop, s_pop)    # pop gaining the lineage in W
+        Rm = jnp.where(up, s_pop, p_pop)   # pop losing it
+        w0 = jnp.minimum(t, tnew)
+        w1 = jnp.maximum(t, tnew)
+
+        # per-slot segment tables (mig ages move as slots are accepted)
+        fme = jnp.full((N, TL), _BIG, dt)      # first mig above each edge
+        for m2 in range(M):
+            a2 = jnp.where(act[m2:m2 + 1, :], mag[m2:m2 + 1, :], big)
+            fme = jnp.where(mbr[m2:m2 + 1, :] == nid,
+                            jnp.minimum(fme, jnp.broadcast_to(a2, (N, TL))),
+                            fme)
+        seg_start = [age[n:n + 1, :] for n in range(N)]
+        seg_end = [jnp.minimum(top[n:n + 1, :], fme[n:n + 1, :])
+                   for n in range(N)]
+        seg_base = [npop[n:n + 1, :] for n in range(N)]
+        seg_valid = [jnp.ones((1, TL), dt) for _ in range(N)]
+        for m2 in range(M):
+            a2 = mag[m2:m2 + 1, :]
+            nxt = jnp.full((1, TL), _BIG, dt)
+            for m3 in range(M):
+                if m3 == m2:
+                    continue
+                same = (act[m2:m2 + 1, :] & act[m3:m3 + 1, :]
+                        & (mbr[m2:m2 + 1, :] == mbr[m3:m3 + 1, :]))
+                a3 = jnp.where(act[m3:m3 + 1, :], mag[m3:m3 + 1, :], big)
+                later = same & ((a3 > a2) | ((a3 == a2) & (m3 > m2)))
+                nxt = jnp.where(later, jnp.minimum(nxt, a3), nxt)
+            btop = _gather_rows(top, jnp.maximum(mbr[m2:m2 + 1, :], 0), nid)
+            seg_start.append(a2)
+            seg_end.append(jnp.minimum(nxt, btop))
+            seg_base.append(src_pop_m[m2:m2 + 1, :])
+            seg_valid.append(jnp.where(act[m2:m2 + 1, :],
+                                       jnp.ones((), dt), 0.0))
+
+        # stacked [NSEG, TL] tables so the per-pop reductions run as
+        # block ops (full 8-sublane VPU utilization, not [1, TL] rows)
+        seg_start_b = jnp.concatenate(seg_start, axis=0)
+        seg_end_b = jnp.concatenate(seg_end, axis=0)
+        seg_base_b = jnp.concatenate(seg_base, axis=0)
+        seg_valid_b = jnp.concatenate(seg_valid, axis=0)
+        NSEG = N + M
+
+        dlnp = jnp.zeros((1, TL), dt)
+        for r in range(PP):
+            # anc[r, q] rows of the flattened [PP*PP, TL] table
+            in_A = jnp.zeros((1, TL), dt)
+            in_R = jnp.zeros((1, TL), dt)
+            pres = jnp.zeros((NSEG, TL), dt)
+            for q in range(PP):
+                arq = anc_ref[r * PP + q:r * PP + q + 1, :]
+                in_A = in_A + jnp.where(A == q, arq, 0.0)
+                in_R = in_R + jnp.where(Rm == q, arq, 0.0)
+                pres = pres + jnp.where(
+                    seg_base_b == q, jnp.broadcast_to(arq, (NSEG, TL)), 0.0)
+            addm = (in_A > 0.5) & (in_R <= 0.5)
+            remm = (in_R > 0.5) & (in_A <= 0.5)
+            tau_r = tau_ref[r:r + 1, :]
+            pend_r = pend_ref[r:r + 1, :]
+            lo = jnp.maximum(jnp.maximum(seg_start_b, tau_r), w0)
+            hi = jnp.minimum(jnp.minimum(seg_end_b, pend_r), w1)
+            integ = jnp.sum(
+                jnp.where((seg_valid_b > 0.5) & (pres > 0.5),
+                          jnp.maximum(hi - lo, 0.0), 0.0),
+                axis=0, keepdims=True)
+            wlen_r = jnp.maximum(
+                jnp.minimum(w1, pend_r) - jnp.maximum(w0, tau_r), 0.0)
+            dcoal = jnp.where(addm, 2.0 * integ,
+                              jnp.where(remm, -2.0 * (integ - wlen_r), 0.0))
+            dlnp = dlnp - dcoal / theta_ref[r:r + 1, :]
+            # migration-stat deltas for bands targeting r
+            for b_ in range(B):
+                ov = jnp.maximum(
+                    jnp.minimum(w1, be_ref[b_:b_ + 1, :])
+                    - jnp.maximum(w0, bs_ref[b_:b_ + 1, :]), 0.0)
+                tgt_is_r = btgt_ref[b_:b_ + 1, :].astype(jnp.int32) == r
+                dmig = jnp.where(
+                    tgt_is_r & addm, ov,
+                    jnp.where(tgt_is_r & remm, -ov, 0.0))
+                dlnp = dlnp - dmig * brate_ref[b_:b_ + 1, :]
+
+        u = _uniform(key, ctr0, off + 4, dt)
+        accept = act_m & ~tiny & (
+            (dlnp >= 0.0) | (u < jnp.exp(jnp.minimum(dlnp, 0.0))))
+        mag_out[m:m + 1, :] = jnp.where(accept, tnew, t)
+        lnp_out[:] = jnp.where(accept, lnp_out[:] + dlnp, lnp_out[:])
+        acc_ref[:] = acc_ref[:] + jnp.where(
+            act_m & (accept | tiny), 1, 0).astype(jnp.int32)
+
+
+def mig_age_sweep_pallas(gen: GenState, params: Params, rng: FastRngState,
+                         ctx: Context, finetune, lnp, *, tile: int = 512,
+                         interpret: bool = False):
+    """Drop-in fused twin of kernels/mig_age.update_mig_ages for fast-RNG
+    mode.  Returns (gen, rng, lnp, acc).  Prior-only arithmetic on
+    [M, TL]/[N, TL] tiles — no conditionals, so VMEM cost is tiny and the
+    lane tile defaults wide."""
+    if ctx.num_bands == 0:
+        return gen, rng, lnp, jnp.zeros((), jnp.int32)
+    L, N = gen.father.shape
+    M = gen.max_migs
+    B = ctx.num_bands
+    PP = ctx.num_pops
+    dt = gen.age.dtype
+
+    TL = tile
+    Lp = _round_up(L, TL)
+    padL = Lp - L
+
+    def padr(x, fill=0):
+        if padL == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padL)), constant_values=fill)
+
+    def row(x, cast=None):
+        v = x[None, :]
+        return padr(v if cast is None else v.astype(cast))
+
+    def mat(x, cast=None):
+        v = x.T
+        return padr(v if cast is None else v.astype(cast))
+
+    def bcast(x, cast=None):
+        v = jnp.broadcast_to(x[:, None], (x.shape[0], Lp))
+        return v if cast is None else v.astype(cast)
+
+    pend = jnp.where(ctx.father_pop < 0, jnp.asarray(ctx.oldage, dt),
+                     params.tau[jnp.where(ctx.father_pop < 0, 0,
+                                          ctx.father_pop)])
+    anc = ctx.is_ancestral.astype(dt).reshape(PP * PP)
+    bs, be = band_windows(ctx, params.tau)
+
+    args = (
+        mat(jnp.where(gen.mig_branch >= 0, gen.mig_age, 0.0)),
+        mat(gen.mig_branch, jnp.int32), mat(gen.mig_band, jnp.int32),
+        mat(gen.age), mat(gen.father, jnp.int32),
+        mat(gen.node_pop, jnp.int32),
+        bcast(params.theta.astype(dt)), bcast(params.tau.astype(dt)),
+        bcast(pend), bcast(anc),
+        bcast(bs.astype(dt)), bcast(be.astype(dt)),
+        bcast(params.mig_rate.astype(dt)),
+        bcast(ctx.band_source, jnp.int32), bcast(ctx.band_target, jnp.int32),
+        row(rng.key[:L], jnp.uint32),
+        row(gen.valid, jnp.int32),
+        row(lnp),
+    )
+    ctr = jnp.asarray(rng.ctr, jnp.uint32).reshape(1, 1)
+    ft = jnp.asarray(finetune, dt).reshape(1, 1)
+    grid = (Lp // TL,)
+
+    def vspec(r):
+        return pl.BlockSpec((r, TL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [sspec, sspec] + [vspec(a.shape[0]) for a in args]
+    out_shape = (
+        jax.ShapeDtypeStruct((M, Lp), dt),          # mig_age
+        jax.ShapeDtypeStruct((1, Lp), dt),          # lnp
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # acc
+    )
+    out_specs = tuple(vspec(s.shape[0]) for s in out_shape)
+
+    kernel = functools.partial(
+        _mig_age_kernel, N=N, M=M, B=B, PP=PP, oldage=ctx.oldage)
+    mag_o, lnp_o, acc_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ctr, ft, *args)
+
+    act = gen.mig_branch >= 0
+    gen = gen._replace(mig_age=jnp.where(act, mag_o[:, :L].T, gen.mig_age))
+    lnp_new = lnp_o[0, :L]
+    acc = jnp.sum(acc_o[0, :L], dtype=jnp.int32)
+    rng = rng._replace(ctr=rng.ctr + jnp.uint32(4 * M))
+    return gen, rng, lnp_new, acc
+
+
+# --------------------------------------------------------------------------
+# Kernel 4: rubber-band proposal evaluation (UpdateTau / UpdateSampleAge)
+# --------------------------------------------------------------------------
+
+def _full_rebuild(prop_ref, age, lson, rson, mut, nid, N, S, P, CPWP, dt):
+    """Bottom-up Jacobi rebuild of ALL internal conditionals in VMEM:
+    trip k finalizes nodes of subtree height <= k (twin of
+    ops/likelihood_cache.full_build).  Trips run as a fori_loop (the body
+    is trip-invariant) to keep the Mosaic program size linear in S, not
+    quadratic — the fully unrolled form compiled pathologically slowly."""
+
+    def trip(_t, carry):
+        for n in range(S, N):
+            ls = lson[n:n + 1, :]
+            rs = rson[n:n + 1, :]
+            t_c = age[n:n + 1, :]
+            pa = _edge_p(mut * (t_c - _gather_rows(age, ls, nid)), dt)
+            pb = _edge_p(mut * (t_c - _gather_rows(age, rs, nid)), dt)
+            ca = _son_block(prop_ref, ls, N, CPWP, dt)
+            cb = _son_block(prop_ref, rs, N, CPWP, dt)
+            prop_ref[n * CPWP:(n + 1) * CPWP, :] = _combine_block(
+                ca, cb, pa, pb, P, CPWP)
+        return carry
+
+    lax.fori_loop(0, S - 1, trip, 0)
+
+
+def _rubber_kernel(scal_ref,
+                   age_ref, lson_ref, rson_ref, father_ref, root_ref,
+                   pop_ref, mut_ref, real_ref,
+                   mbr_ref, mbd_ref, mag_ref,
+                   theta_ref, taunew_ref, pendnew_ref, anc_ref,
+                   bsn_ref, ben_ref, brate_ref, bsrc_ref, btgt_ref,
+                   gid_ref, gcount_ref, gnph_ref, pvalid_ref,
+                   cond_in_ref,
+                   # outputs
+                   cond_ref, age_out, mag_out, lnld_out, lnp_out,
+                   ntj0_out, ntj1_out, conf_out,
+                   *, N, S, M, B, P, PP, CPWP, is_sample_age, is_root,
+                   oldage):
+    """One loci tile: evaluate a rubber-band proposal for one population.
+
+    scal_ref (SMEM, [8]): pop, son0, son1, taub0, taub1, tauold, taunew
+    encoded as [pop, s0, s1] ints at rows 0-2 and the four floats after.
+    Affine remap of node/migration ages + conflict scan + full in-VMEM
+    conditional rebuild + from-scratch genealogy prior on the proposed
+    state.  Twin of kernels/tau._rubber_band_proposal (reference
+    rubberBand, src/patch.c:596-801; UpdateTau src/GPhoCS.c:3224-3994;
+    UpdateSampleAge :4006-4590).  The scalar MH decision (general RNG
+    stream, Gamma prior ratio, Jacobian ntj*log f) stays in XLA — the
+    cross-locus reductions of this kernel's outputs are the psum points
+    of the loci mesh.
+    """
+    dt = age_ref.dtype
+    TL = age_ref.shape[1]
+    nid = lax.broadcasted_iota(jnp.int32, (N, TL), 0)
+    oa = jnp.asarray(oldage, dt)
+    big = jnp.asarray(_BIG, dt)
+
+    pop = scal_ref[0, 0].astype(jnp.int32)
+    s0 = scal_ref[1, 0].astype(jnp.int32)
+    s1 = scal_ref[2, 0].astype(jnp.int32)
+    taub0 = scal_ref[3, 0].astype(dt)
+    taub1 = scal_ref[4, 0].astype(dt)
+    tauold = scal_ref[5, 0].astype(dt)
+    taunew = scal_ref[6, 0].astype(dt)
+
+    f0 = (taunew - taub0) / (tauold - taub0)
+    f1 = f0 if is_root else (taunew - taub1) / (tauold - taub1)
+
+    age = age_ref[:]
+    npop = pop_ref[:].astype(jnp.int32)
+    lson = lson_ref[:].astype(jnp.int32)
+    rson = rson_ref[:].astype(jnp.int32)
+    father = father_ref[:].astype(jnp.int32)
+    real = real_ref[:] > 0
+    mut = mut_ref[:]
+    internal = nid >= S
+
+    # ---- node-age remap ----
+    if is_sample_age:
+        in_sons = npop == pop
+        lower = in_sons & (age > taub0) & (age < tauold)
+        upper = in_sons & (age >= tauold) & (age < taub1)
+        new_age = jnp.where(lower & internal, taub0 + f0 * (age - taub0),
+                            age)
+        new_age = jnp.where(upper & internal, taub1 + f1 * (age - taub1),
+                            new_age)
+        is_pop_leaf = (nid < S) & (npop == pop)
+        new_age = jnp.where(is_pop_leaf, taunew, new_age)
+        ntj0_n = jnp.sum(jnp.where(lower & internal, 1, 0), axis=0,
+                         keepdims=True)
+        ntj1_n = jnp.sum(jnp.where(upper & internal, 1, 0), axis=0,
+                         keepdims=True)
+    else:
+        in_anc = npop == pop
+        in_sons = (npop == s0) | (npop == s1)
+        if is_root:
+            anc_map = taub0 + f0 * (age - taub0)
+            moved_anc = in_anc & internal
+        else:
+            anc_map = taub1 + f1 * (age - taub1)
+            moved_anc = in_anc & internal & (age < taub1)
+        moved_sons = in_sons & (age > taub0) & (age < tauold) & internal
+        new_age = jnp.where(moved_anc, anc_map, age)
+        new_age = jnp.where(moved_sons, taub0 + f0 * (age - taub0), new_age)
+        ntj0_n = jnp.sum(jnp.where(moved_sons, 1, 0), axis=0,
+                         keepdims=True)
+        ntj1_n = jnp.sum(jnp.where(moved_anc, 1, 0), axis=0, keepdims=True)
+
+    # ---- migration-age remap + conflicts ----
+    mbr = mbr_ref[:].astype(jnp.int32)
+    mbd = mbd_ref[:].astype(jnp.int32)
+    mag = mag_ref[:]
+    act = mbr >= 0
+    if B > 0:
+        band = jnp.where(act, mbd, 0)
+        msrc = jnp.zeros((M, TL), jnp.int32)
+        mtgt = jnp.zeros((M, TL), jnp.int32)
+        bs_of = jnp.zeros((M, TL), dt)
+        be_of = jnp.zeros((M, TL), dt)
+        for b_ in range(B):
+            hit = band == b_
+            msrc = jnp.where(hit, jnp.broadcast_to(
+                bsrc_ref[b_:b_ + 1, :].astype(jnp.int32), (M, TL)), msrc)
+            mtgt = jnp.where(hit, jnp.broadcast_to(
+                btgt_ref[b_:b_ + 1, :].astype(jnp.int32), (M, TL)), mtgt)
+            bs_of = jnp.where(hit, jnp.broadcast_to(
+                bsn_ref[b_:b_ + 1, :], (M, TL)), bs_of)
+            be_of = jnp.where(hit, jnp.broadcast_to(
+                ben_ref[b_:b_ + 1, :], (M, TL)), be_of)
+        in_window = act & (mag >= taub0) & (mag <= taub1)
+        if is_sample_age:
+            src_is = msrc == pop
+            tgt_is = mtgt == pop
+            side1 = in_window & (src_is | tgt_is) & (mag > tauold)
+            side0 = in_window & (src_is | tgt_is) & (mag <= tauold)
+            new_mage = jnp.where(side1, taub1 + f1 * (mag - taub1), mag)
+            new_mage = jnp.where(side0, taub0 + f0 * (mag - taub0),
+                                 new_mage)
+            cnt0 = side0
+            cnt1 = side1
+            checked = side0 | side1
+            kind_out = src_is
+            trio_src = src_is
+            trio_tgt = tgt_is
+        else:
+            both_sons = in_window & (((msrc == s0) & (mtgt == s1))
+                                     | ((msrc == s1) & (mtgt == s0)))
+            src_anc = in_window & ~both_sons & (msrc == pop)
+            tgt_anc = in_window & ~both_sons & ~src_anc & (mtgt == pop)
+            src_son = (in_window & ~both_sons & ~src_anc & ~tgt_anc
+                       & ((msrc == s0) | (msrc == s1)) & (mag > taub0))
+            tgt_son = (in_window & ~both_sons & ~src_anc & ~tgt_anc
+                       & ~src_son & ((mtgt == s0) | (mtgt == s1))
+                       & (mag > taub0))
+            f1_sel = src_anc | tgt_anc
+            f0_sel = both_sons | src_son | tgt_son
+            new_mage = jnp.where(f1_sel, taub1 + f1 * (mag - taub1), mag)
+            new_mage = jnp.where(f0_sel, taub0 + f0 * (mag - taub0),
+                                 new_mage)
+            cnt0 = f0_sel
+            cnt1 = f1_sel
+            checked = src_anc | tgt_anc | src_son | tgt_son
+            kind_out = src_anc | src_son
+            in_trio = lambda p: (p == pop) | (p == s0) | (p == s1)  # noqa
+            trio_src = in_trio(msrc)
+            trio_tgt = in_trio(mtgt)
+
+        ntj0_out[:] = ntj0_n + jnp.sum(jnp.where(cnt0, 1, 0), axis=0,
+                                       keepdims=True)
+        ntj1_out[:] = ntj1_n + jnp.sum(jnp.where(cnt1, 1, 0), axis=0,
+                                       keepdims=True)
+
+        # neighbour mig ages (ties by slot id), per slot
+        mag_act = jnp.where(act, mag, big)
+        window_conf = checked & ((new_mage >= be_of) | (new_mage <= bs_of))
+        conf_cnt = jnp.zeros((1, TL), jnp.int32)
+        child_age_m = jnp.zeros((M, TL), dt)
+        fa_m = jnp.zeros((M, TL), jnp.int32)
+        branch_safe = jnp.where(act, mbr, 0)
+        for n in range(N):
+            hit = branch_safe == n
+            child_age_m = jnp.where(hit, jnp.broadcast_to(
+                age[n:n + 1, :], (M, TL)), child_age_m)
+            fa_m = jnp.where(hit, jnp.broadcast_to(
+                father[n:n + 1, :], (M, TL)), fa_m)
+        fa_age_m = jnp.zeros((M, TL), dt)
+        for n in range(N):
+            fa_age_m = jnp.where(jnp.maximum(fa_m, 0) == n,
+                                 jnp.broadcast_to(age[n:n + 1, :], (M, TL)),
+                                 fa_age_m)
+        for m in range(M):
+            up_age = jnp.full((1, TL), _BIG, dt)
+            up_src = jnp.zeros((1, TL), jnp.int32)
+            dn_age = jnp.full((1, TL), -_BIG, dt)
+            dn_tgt = jnp.zeros((1, TL), jnp.int32)
+            a_m = mag_act[m:m + 1, :]
+            for m2 in range(M):
+                if m2 == m:
+                    continue
+                same = (act[m:m + 1, :] & act[m2:m2 + 1, :]
+                        & (mbr[m:m + 1, :] == mbr[m2:m2 + 1, :]))
+                a2 = mag_act[m2:m2 + 1, :]
+                abv = same & ((a2 > a_m) | ((a2 == a_m) & (m2 > m)))
+                blw = same & ((a2 < a_m) | ((a2 == a_m) & (m2 < m)))
+                pick_up = abv & (a2 < up_age)
+                up_age = jnp.where(pick_up, a2, up_age)
+                up_src = jnp.where(pick_up, msrc[m2:m2 + 1, :], up_src)
+                pick_dn = blw & (a2 > dn_age)
+                dn_age = jnp.where(pick_dn, a2, dn_age)
+                dn_tgt = jnp.where(pick_dn, mtgt[m2:m2 + 1, :], dn_tgt)
+            mv_up = (checked[m:m + 1, :] & ~kind_out[m:m + 1, :]
+                     & (new_mage[m:m + 1, :] > mag[m:m + 1, :]))
+            mv_dn = (checked[m:m + 1, :] & kind_out[m:m + 1, :]
+                     & (new_mage[m:m + 1, :] < mag[m:m + 1, :]))
+            up_exists = up_age < big * 0.5
+            dn_exists = dn_age > -big * 0.5
+            if is_sample_age:
+                up_exempt = up_src == pop
+                dn_exempt = dn_tgt == pop
+            else:
+                up_exempt = ((up_src == pop) | (up_src == s0)
+                             | (up_src == s1))
+                dn_exempt = ((dn_tgt == pop) | (dn_tgt == s0)
+                             | (dn_tgt == s1))
+            c_m = (mv_up & up_exists & ~up_exempt
+                   & (new_mage[m:m + 1, :] >= up_age))
+            c_m = c_m | (mv_up & (fa_m[m:m + 1, :] >= 0)
+                         & (new_mage[m:m + 1, :] >= fa_age_m[m:m + 1, :]))
+            c_m = c_m | (mv_dn & dn_exists & ~dn_exempt
+                         & (new_mage[m:m + 1, :] <= dn_age))
+            c_m = c_m | (mv_dn
+                         & (new_mage[m:m + 1, :] <= child_age_m[m:m + 1, :]))
+            row_conf = window_conf[m:m + 1, :] | c_m
+            conf_cnt = conf_cnt + jnp.where(row_conf & real, 1, 0)
+        conf_out[:] = conf_cnt
+        new_mag = jnp.where(act, new_mage, mag)
+        _ = (trio_src, trio_tgt)  # parity markers (unused, as in XLA twin)
+    else:
+        ntj0_out[:] = ntj0_n
+        ntj1_out[:] = ntj1_n
+        conf_out[:] = jnp.zeros((1, TL), jnp.int32)
+        new_mag = mag
+
+    age_out[:] = new_age
+    mag_out[:] = new_mag
+
+    # ---- full conditional rebuild on the proposed ages ----
+    cond_ref[:] = cond_in_ref[:]
+    _full_rebuild(cond_ref, new_age, lson, rson, mut, nid, N, S, P, CPWP,
+                  dt)
+    lnld_out[:] = _root_lnld(cond_ref, root_ref[:], gid_ref, gcount_ref,
+                             gnph_ref, pvalid_ref, N, P, CPWP, dt)
+
+    # ---- genealogy prior from scratch on the proposed state ----
+    # segment tables (proposed ages); the root's virtual edge is capped
+    # at max(ages, band ends, taus) — exact, and avoids differencing
+    # OLDAGE-magnitude values in f32 (ulp(999) = 6e-5; see
+    # ops/coalstats.segments root_cap)
+    cap = jnp.max(new_age, axis=0, keepdims=True)
+    cap = jnp.maximum(cap, jnp.max(taunew_ref[:], axis=0, keepdims=True))
+    if B > 0:
+        cap = jnp.maximum(cap, jnp.max(ben_ref[:], axis=0, keepdims=True))
+    top_rows = []
+    for n in range(N):
+        fa_n = father[n:n + 1, :]
+        t_fa = _gather_rows(new_age, jnp.maximum(fa_n, 0), nid)
+        top_rows.append(jnp.where(fa_n < 0, cap, t_fa))
+    top = jnp.concatenate(top_rows, axis=0)
+    fme = jnp.full((N, TL), _BIG, dt)
+    for m2 in range(M):
+        a2 = jnp.where(act[m2:m2 + 1, :], new_mag[m2:m2 + 1, :], big)
+        fme = jnp.where(mbr[m2:m2 + 1, :] == nid,
+                        jnp.minimum(fme, jnp.broadcast_to(a2, (N, TL))),
+                        fme)
+    seg_start = [new_age[n:n + 1, :] for n in range(N)]
+    seg_end = [jnp.minimum(top[n:n + 1, :], fme[n:n + 1, :])
+               for n in range(N)]
+    seg_base = [npop[n:n + 1, :] for n in range(N)]
+    seg_valid = [jnp.ones((1, TL), dt) for _ in range(N)]
+    for m2 in range(M):
+        a2 = jnp.where(act[m2:m2 + 1, :], new_mag[m2:m2 + 1, :], big)
+        nxt = jnp.full((1, TL), _BIG, dt)
+        for m3 in range(M):
+            if m3 == m2:
+                continue
+            same = (act[m2:m2 + 1, :] & act[m3:m3 + 1, :]
+                    & (mbr[m2:m2 + 1, :] == mbr[m3:m3 + 1, :]))
+            a3 = jnp.where(act[m3:m3 + 1, :], new_mag[m3:m3 + 1, :], big)
+            later = same & ((a3 > a2) | ((a3 == a2) & (m3 > m2)))
+            nxt = jnp.where(later, jnp.minimum(nxt, a3), nxt)
+        btop = _gather_rows(top, jnp.maximum(mbr[m2:m2 + 1, :], 0), nid)
+        seg_start.append(jnp.where(act[m2:m2 + 1, :],
+                                   new_mag[m2:m2 + 1, :], 0.0))
+        seg_end.append(jnp.where(act[m2:m2 + 1, :],
+                                 jnp.minimum(nxt, btop), 0.0))
+        if B > 0:
+            seg_base.append(msrc[m2:m2 + 1, :])
+        else:
+            seg_base.append(jnp.zeros((1, TL), jnp.int32))
+        seg_valid.append(jnp.where(act[m2:m2 + 1, :],
+                                   jnp.ones((), dt), 0.0))
+    NSEG = N + M
+    seg_start_b = jnp.concatenate(seg_start, axis=0)
+    seg_end_b = jnp.concatenate(seg_end, axis=0)
+    seg_base_b = jnp.concatenate(seg_base, axis=0)
+    seg_valid_b = jnp.concatenate(seg_valid, axis=0)
+
+    lnp = jnp.zeros((1, TL), dt)
+    for r in range(PP):
+        pres = jnp.zeros((NSEG, TL), dt)
+        for q in range(PP):
+            arq = anc_ref[r * PP + q:r * PP + q + 1, :]
+            pres = pres + jnp.where(
+                seg_base_b == q, jnp.broadcast_to(arq, (NSEG, TL)), 0.0)
+        tau_r = taunew_ref[r:r + 1, :]
+        pend_r = pendnew_ref[r:r + 1, :]
+        lo = jnp.maximum(seg_start_b, tau_r)
+        hi = jnp.minimum(seg_end_b, pend_r)
+        present = (seg_valid_b > 0.5) & (pres > 0.5) & (hi > lo)
+        lo_m = jnp.where(present, lo, 0.0)
+        hi_m = jnp.where(present, jnp.maximum(hi, lo), 0.0)
+        # pairwise-overlap coal stat: sum_{s != s'} |I_s ^ I_s'|
+        coal = jnp.zeros((1, TL), dt)
+        for s_ in range(NSEG):
+            lo_s = lo_m[s_:s_ + 1, :]
+            hi_s = hi_m[s_:s_ + 1, :]
+            ov = jnp.maximum(jnp.minimum(hi_m, hi_s)
+                             - jnp.maximum(lo_m, lo_s), 0.0)
+            coal = coal + jnp.sum(ov, axis=0, keepdims=True)
+        coal = coal - jnp.sum(hi_m - lo_m, axis=0, keepdims=True)
+        ncoal = jnp.sum(jnp.where((npop == r) & internal,
+                                  jnp.ones((), dt), 0.0), axis=0,
+                        keepdims=True)
+        th_r = theta_ref[r:r + 1, :]
+        lnp = lnp + ncoal * jnp.log(2.0 / th_r) - coal / th_r
+        # migration stats for bands targeting r
+        for b_ in range(B):
+            tgt_is_r = btgt_ref[b_:b_ + 1, :].astype(jnp.int32) == r
+            lo_t = jnp.maximum(lo, bsn_ref[b_:b_ + 1, :])
+            hi_t = jnp.minimum(hi, ben_ref[b_:b_ + 1, :])
+            mig = jnp.sum(
+                jnp.where(present & (hi_t > lo_t),
+                          jnp.maximum(hi_t - lo_t, 0.0), 0.0),
+                axis=0, keepdims=True)
+            nmig = jnp.sum(jnp.where(act & (mbd == b_),
+                                     jnp.ones((), dt), 0.0), axis=0,
+                           keepdims=True)
+            m_b = brate_ref[b_:b_ + 1, :]
+            safe_m = jnp.where(m_b > 0.0, m_b, 1.0)
+            lnp = lnp + jnp.where(
+                (m_b > 0.0) & tgt_is_r,
+                nmig * jnp.log(safe_m) - mig * m_b, 0.0)
+    lnp_out[:] = jnp.where(real, lnp, 0.0)
+
+
+def rubber_band_eval_pallas(gen: GenState, params: Params, seq: SeqData,
+                            ctx: Context, pop: int, is_sample_age: bool,
+                            taub0, taub1, tauold, taunew, cond,
+                            *, tile: int = 0, interpret: bool = False):
+    """Evaluate one rubber-band proposal with the fused kernel.
+
+    Returns (age_prop [L,N], mag_prop [L,M], cond_prop, lnld_prop [L],
+    lnp_prop [L], ntj0 [], ntj1 [], any_conflict []) — the same
+    quantities kernels/tau._rubber_band_proposal derives, with the
+    reductions done XLA-side (mesh psum points)."""
+    L, N, P_pat, _ = cond.shape
+    S = (N + 1) // 2
+    M = gen.max_migs
+    B = ctx.num_bands
+    PP = ctx.num_pops
+    dt = gen.age.dtype
+    is_root = bool(pop == ctx.root_pop) and not is_sample_age
+
+    cond_cl, CPWP = _cl_layout(cond)
+    TL = tile or _pick_tile(N, CPWP)
+    Lp = _round_up(L, TL)
+    padL = Lp - L
+
+    def padr(x, fill=0):
+        if padL == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padL)), constant_values=fill)
+
+    def row(x, cast=None):
+        v = x[None, :]
+        return padr(v if cast is None else v.astype(cast))
+
+    def mat(x, cast=None):
+        v = x.T
+        return padr(v if cast is None else v.astype(cast))
+
+    def bcast(x, cast=None):
+        v = jnp.broadcast_to(x[:, None], (x.shape[0], Lp))
+        return v if cast is None else v.astype(cast)
+
+    if is_sample_age:
+        new_tau = params.tau
+        sons = jnp.asarray([-9, -9], jnp.int32)
+    else:
+        new_tau = params.tau.at[pop].set(taunew)
+        sons = ctx.pop_sons[pop]
+    bs_new, be_new = band_windows(ctx, new_tau)
+    pend_new = jnp.where(ctx.father_pop < 0, jnp.asarray(ctx.oldage, dt),
+                         new_tau[jnp.where(ctx.father_pop < 0, 0,
+                                           ctx.father_pop)])
+    anc = ctx.is_ancestral.astype(dt).reshape(PP * PP)
+
+    scal = jnp.stack([
+        jnp.asarray(pop, dt), sons[0].astype(dt), sons[1].astype(dt),
+        jnp.asarray(taub0, dt), jnp.asarray(taub1, dt),
+        jnp.asarray(tauold, dt), jnp.asarray(taunew, dt),
+        jnp.zeros((), dt)]).reshape(8, 1)
+
+    if B > 0:
+        bsn_a, ben_a = bcast(bs_new.astype(dt)), bcast(be_new.astype(dt))
+        br_a = bcast(params.mig_rate.astype(dt))
+        bsrc = bcast(ctx.band_source, jnp.int32)
+        btgt = bcast(ctx.band_target, jnp.int32)
+    else:
+        bsn_a = jnp.zeros((1, Lp), dt)
+        ben_a = jnp.zeros((1, Lp), dt)
+        br_a = jnp.zeros((1, Lp), dt)
+        bsrc = jnp.full((1, Lp), -1, jnp.int32)
+        btgt = jnp.full((1, Lp), -1, jnp.int32)
+
+    args = (
+        mat(gen.age), mat(gen.lson, jnp.int32), mat(gen.rson, jnp.int32),
+        mat(gen.father, jnp.int32), row(gen.root, jnp.int32),
+        mat(gen.node_pop, jnp.int32), row(gen.mut_rate),
+        row(gen.valid, jnp.int32),
+        mat(gen.mig_branch, jnp.int32), mat(gen.mig_band, jnp.int32),
+        mat(gen.mig_age),
+        bcast(params.theta.astype(dt)), bcast(new_tau.astype(dt)),
+        bcast(pend_new), bcast(anc),
+        bsn_a, ben_a, br_a, bsrc, btgt,
+        mat(seq.group_id, jnp.int32), mat(seq.group_count.astype(dt)),
+        mat(seq.group_nphases.astype(dt)),
+        mat(seq.pattern_valid.astype(dt)),
+        padr(cond_cl),
+    )
+    grid = (Lp // TL,)
+
+    def vspec(r):
+        return pl.BlockSpec((r, TL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    sspec = pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [sspec] + [vspec(a.shape[0]) for a in args]
+    out_shape = (
+        jax.ShapeDtypeStruct((N * CPWP, Lp), dt),   # cond_prop
+        jax.ShapeDtypeStruct((N, Lp), dt),          # age_prop
+        jax.ShapeDtypeStruct((M, Lp), dt),          # mag_prop
+        jax.ShapeDtypeStruct((1, Lp), dt),          # lnld_prop
+        jax.ShapeDtypeStruct((1, Lp), dt),          # lnp_prop
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # ntj0
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # ntj1
+        jax.ShapeDtypeStruct((1, Lp), jnp.int32),   # conflict
+    )
+    out_specs = tuple(vspec(s.shape[0]) for s in out_shape)
+
+    kernel = functools.partial(
+        _rubber_kernel, N=N, S=S, M=M, B=B, P=P_pat, PP=PP, CPWP=CPWP,
+        is_sample_age=bool(is_sample_age), is_root=is_root,
+        oldage=ctx.oldage)
+    (cond_o, age_o, mag_o, lnld_o, lnp_o, ntj0_o, ntj1_o, conf_o) = \
+        pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(scal, *args)
+
+    age_prop = age_o[:, :L].T
+    mag_prop = jnp.where(gen.mig_branch >= 0, mag_o[:, :L].T, gen.mig_age)
+    cond_prop = _cl_unlayout(cond_o[:, :L], L, N, P_pat, CPWP)
+    lnld_prop = lnld_o[0, :L]
+    lnp_prop = lnp_o[0, :L]
+    valid = gen.valid
+    ntj0 = jnp.sum(jnp.where(valid, ntj0_o[0, :L], 0), dtype=jnp.int32)
+    ntj1 = jnp.sum(jnp.where(valid, ntj1_o[0, :L], 0), dtype=jnp.int32)
+    any_conflict = jnp.sum(conf_o[0, :L], dtype=jnp.int32) > 0
+    return (age_prop, mag_prop, cond_prop, lnld_prop, lnp_prop,
+            ntj0.astype(dt), ntj1.astype(dt), any_conflict)
 
 
 # --------------------------------------------------------------------------
@@ -823,13 +1592,20 @@ def _spr_kernel(ctr_ref,
                 onany = onany | hit
             rate = jnp.where(onany, mig_seg + 2.0 * n_seg * ith_seg, 0.0)
             hz = rate * seg_len
-            # serial prefix sum over the K segment rows
+            # serial prefix sum over the K segment rows; the EXCLUSIVE
+            # prefix is kept directly — deriving it as cum_k - hz_k
+            # cancels catastrophically when hz_k is huge (the
+            # [root age, OLDAGE] segment; see kernels/spr.py twin) and
+            # was the round-3 GOLDEN_FUSED f32 bias
             crows = []
+            erows = []
             acc = jnp.zeros((1, TL), dt)
             for k in range(K):
+                erows.append(acc)
                 acc = acc + hz[k:k + 1, :]
                 crows.append(acc)
             cum = jnp.concatenate(crows, axis=0)
+            ecum = jnp.concatenate(erows, axis=0)
 
             u1 = _uniform(key, ctr0, doff + 1, dt)
             E = -jnp.log(jnp.maximum(u1, jnp.asarray(1e-30, dt)))
@@ -840,17 +1616,18 @@ def _spr_kernel(ctr_ref,
             exits = k_idx == K
             ksafe = jnp.minimum(k_idx, K - 1)
             koh = kio == ksafe
-            cum_k = jnp.sum(jnp.where(koh, cum, 0.0), axis=0, keepdims=True)
-            hz_k = jnp.sum(jnp.where(koh, hz, 0.0), axis=0, keepdims=True)
-            prev_cum = cum_k - hz_k
+            prev_cum = jnp.sum(jnp.where(koh, ecum, 0.0), axis=0,
+                               keepdims=True)
             rate_k = jnp.sum(jnp.where(koh, rate, 0.0), axis=0,
                              keepdims=True)
             lo_k = jnp.sum(jnp.where(koh, lo, 0.0), axis=0, keepdims=True)
+            hi_k = jnp.sum(jnp.where(koh, hi, 0.0), axis=0, keepdims=True)
             mig_k = jnp.sum(jnp.where(koh, mig_seg, 0.0), axis=0,
                             keepdims=True)
             n_k = jnp.sum(jnp.where(koh, n_seg, 0.0), axis=0, keepdims=True)
             t_event = lo_k + (E - prev_cum) / jnp.maximum(
                 rate_k, jnp.asarray(1e-30, dt))
+            t_event = jnp.clip(t_event, lo_k, hi_k)
             # pop of the event segment
             pop_k = jnp.zeros((1, TL), jnp.int32)
             theta_k = jnp.zeros((1, TL), dt)
@@ -1059,7 +1836,8 @@ def _spr_kernel(ctr_ref,
 
 def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
                      rng: FastRngState, ctx: Context, lnld, cond,
-                     *, tile: int = 0, interpret: bool = False):
+                     *, tile: int = 0, interpret: bool = False,
+                     loci_axis=None):
     """Drop-in fused twin of kernels/spr.update_spr for fast-RNG mode
     (no admixture).  Returns (gen, rng, lnld, cond, acc).
 
@@ -1129,7 +1907,7 @@ def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
         mat(seq.group_nphases.astype(dt)),
         mat(seq.pattern_valid.astype(dt)),
         row(rng.key[:L], jnp.uint32),
-        row(jnp.ones((L,), jnp.int32), jnp.int32),
+        row(gen.valid, jnp.int32),
         row(lnld),
         padr(cond_cl),
     )
@@ -1182,5 +1960,9 @@ def spr_sweep_pallas(gen: GenState, params: Params, seq: SeqData,
     lnld_new = lnld_o[0, :L]
     acc = jnp.sum(acc_o[0, :L], dtype=jnp.int32)
     used = jnp.max(used_o[0, :]).astype(jnp.uint32)
+    if loci_axis is not None:
+        # shards advance the shared counter identically (draw positions
+        # already consumed by any shard are never reused)
+        used = lax.pmax(used, loci_axis)
     rng = rng._replace(ctr=rng.ctr + used)
     return gen, rng, lnld_new, cond_new, acc

@@ -135,12 +135,19 @@ class Sampler:
         # production TPU path.  Fast-RNG mode only (the kernels reproduce
         # the counter-based streams in-kernel, draw-for-draw); XLA path
         # retained for conformance (legacy RNG), CPU, and as a fallback
-        # (GPHOCS_FUSED=0).
+        # (GPHOCS_FUSED=0).  Under a mesh the fused chunk runs inside
+        # shard_map over the 'loci' axis with psum reductions at the
+        # global decision points (the reference's `omp atomic` twins).
+        # GPHOCS_FUSED_INTERPRET=1 runs the kernels in interpret mode so
+        # the sharded fused path can be validated on a virtual CPU mesh.
+        self.fused_interpret = bool(
+            os.environ.get("GPHOCS_FUSED_INTERPRET", "0") == "1")
         self.use_fused = bool(
-            jax.default_backend() == "tpu" and mesh is None
+            (jax.default_backend() == "tpu" or self.fused_interpret)
             and rng_mode == "fast"
             and jnp.zeros((), dtype).dtype == jnp.float32
             and os.environ.get("GPHOCS_FUSED", "1") != "0")
+        self._sharded_chunk_cache = {}
         self.tree: PopTree = build_poptree(cfg)
         self.ctx = make_context(self.tree, dtype)
         self.dtype = dtype
@@ -434,17 +441,108 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
-            use_fused=self.use_fused,
+            use_fused=self.use_fused and self.mesh is None,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))
         return stats
+
+    def _sharded_fused_chunk(self, n_iters: int, do_migrate: bool,
+                             sample_age_mask):
+        """shard_map-wrapped fused chunk over the 'loci' mesh axis.
+
+        Per-locus state shards; params/general-RNG/finetunes/context
+        replicate; the only cross-shard traffic is the psum of
+        sufficient-statistic totals, likelihood-delta sums, Jacobian
+        counts and conflict/acceptance counters (~hundreds of bytes per
+        iteration over ICI — SURVEY §5's communication inventory)."""
+        cfg = self.cfg
+        key = (n_iters, do_migrate, sample_age_mask,
+               self.ft_search["coal_time"].value > 0,
+               self.ft_search["mig_time"].value > 0,
+               self.ft_search["theta"].value > 0,
+               self.ft_search["mig_rate"].value > 0,
+               self.ft_search["mixing"].value > 0,
+               self.ft_search["locus_rate"].value > 0)
+        if key in self._sharded_chunk_cache:
+            return self._sharded_chunk_cache[key]
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer JAX
+            from jax import shard_map
+
+        from gphocs_tpu.sampler.step import (ChunkTrace, StepStats,
+                                             mcmc_chunk)
+
+        lspec, rspec = P("loci"), P()
+
+        def loci_specs(tree):
+            # rank >= 1 leaves shard on their loci axis; rank-0 leaves
+            # (the fast-RNG counter) replicate
+            return jax.tree_util.tree_map(
+                lambda x: lspec if jnp.ndim(x) >= 1 else rspec, tree)
+
+        def rep_specs(tree):
+            return jax.tree_util.tree_map(lambda x: rspec, tree)
+
+        flags = dict(
+            n_iters=n_iters,
+            genetree_samples=cfg.mcmc.genetree_samples,
+            do_migrate=do_migrate,
+            do_mixing=cfg.mcmc.do_mixing,
+            num_pops=self.tree.num_pops,
+            num_cur_pops=self.tree.num_cur_pops,
+            sample_age_mask=sample_age_mask,
+            coal_time_on=self.ft_search["coal_time"].value > 0,
+            mig_time_on=self.ft_search["mig_time"].value > 0,
+            theta_on=self.ft_search["theta"].value > 0,
+            mig_rate_on=self.ft_search["mig_rate"].value > 0,
+            mixing_on=self.ft_search["mixing"].value > 0,
+            var_rates=cfg.mcmc.mut_rate_mode == 1,
+            locus_rate_on=self.ft_search["locus_rate"].value > 0,
+            var_alpha=cfg.mcmc.var_rates_alpha,
+            use_fused=True,
+            loci_axis="loci",
+            fused_interpret=self.fused_interpret,
+        )
+
+        def local_chunk(gen, params, seq, lrng, grng, lnld, lnp, cond,
+                        ft, ctx):
+            return mcmc_chunk.__wrapped__(
+                gen, params, seq, lrng, grng, lnld, lnp, cond, ft,
+                ctx=ctx, **flags)
+
+        in_specs = (loci_specs(self.gen), rep_specs(self.params),
+                    loci_specs(self.seq), loci_specs(self.lrng),
+                    rep_specs(self.grng), lspec, lspec, lspec,
+                    rep_specs(self.ft), rep_specs(self.ctx))
+        out_specs = (loci_specs(self.gen), rep_specs(self.params),
+                     loci_specs(self.lrng), rep_specs(self.grng),
+                     lspec, lspec, lspec,
+                     StepStats(*(rspec,) * len(StepStats._fields)),
+                     ChunkTrace(*(rspec,) * len(ChunkTrace._fields)))
+        fn = jax.jit(shard_map(local_chunk, mesh=self.mesh,
+                               in_specs=in_specs, out_specs=out_specs,
+                               check_rep=False))
+        self._sharded_chunk_cache[key] = fn
+        return fn
 
     def step_chunk(self, n_iters: int, do_migrate: bool):
         """Run n_iters iterations in one compiled call."""
         cfg = self.cfg
         sample_age_mask = tuple(bool(x) for x in self.tree.update_sample_age
                                 [:self.tree.num_cur_pops])
+        if self.mesh is not None and self.use_fused and self.chains == 1 \
+                and self.buckets == 1:
+            fn = self._sharded_fused_chunk(n_iters, do_migrate,
+                                           sample_age_mask)
+            (self.gen, self.params, self.lrng, self.grng, self.lnld,
+             self.lnp, self.cond, stats, trace) = fn(
+                self.gen, self.params, self.seq, self.lrng, self.grng,
+                self.lnld, self.lnp, self.cond, self.ft, self.ctx)
+            self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta)))
+            return stats, trace
         if self.buckets > 1:
             from gphocs_tpu.sampler.bucketed import mcmc_chunk_buckets
 
@@ -488,7 +586,9 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
-            use_fused=self.use_fused and self.chains == 1,
+            use_fused=(self.use_fused and self.chains == 1
+                       and self.mesh is None),
+            fused_interpret=self.fused_interpret,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))
@@ -669,7 +769,24 @@ class Sampler:
                     from gphocs_tpu.debugcheck import (check_gen_state,
                                                        check_likelihoods)
 
-                    errs = check_gen_state(self.gen, self.params, self.tree)
+                    if self.buckets > 1:
+                        errs = []
+                        for bk, g in enumerate(self.gens):
+                            errs += [f"bucket {bk}: {e}" for e in
+                                     check_gen_state(g, self.params,
+                                                     self.tree)]
+                    elif self.chains > 1:
+                        errs = []
+                        pick = lambda t, c: jax.tree_util.tree_map(  # noqa
+                            lambda a: a[c], t)
+                        for c in range(self.chains):
+                            errs += [f"chain {c}: {e}" for e in
+                                     check_gen_state(
+                                         pick(self.gen, c),
+                                         pick(self.params, c), self.tree)]
+                    else:
+                        errs = check_gen_state(self.gen, self.params,
+                                               self.tree)
                     errs += check_likelihoods(self)
                     if errs:
                         raise AssertionError(

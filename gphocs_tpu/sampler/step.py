@@ -31,7 +31,8 @@ from gphocs_tpu.kernels.spr import update_spr
 from gphocs_tpu.kernels.tau import update_sample_ages, update_taus
 from gphocs_tpu.ops.coalstats import genealogy_log_prior
 from gphocs_tpu.ops.likelihood_cache import full_build
-from gphocs_tpu.ops.sweeps_pallas import (node_age_sweep_pallas,
+from gphocs_tpu.ops.sweeps_pallas import (mig_age_sweep_pallas,
+                                          node_age_sweep_pallas,
                                           spr_sweep_pallas)
 from gphocs_tpu.state import GenState, Params, SeqData
 
@@ -73,7 +74,8 @@ class StepStats(NamedTuple):
                      "coal_time_on", "mig_time_on", "theta_on",
                      "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on",
+                     "loci_axis", "fused_interpret"))
 def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    lnld, lnp, cond, ft: Finetunes, *, ctx: Context,
                    genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -85,8 +87,14 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                    locus_rate_on: bool = True, var_alpha: float = 1.0,
                    admix_on: bool = True,
                    use_fused: bool = False, spr_on: bool = True,
-                   tau_on: bool = True):
+                   tau_on: bool = True, loci_axis=None,
+                   fused_interpret: bool = False):
     """Returns (gen, params, lrng, grng, lnld, lnp, cond, StepStats).
+
+    loci_axis: mesh axis name when running inside shard_map over loci —
+    cross-locus reductions become psums (the reference's `omp atomic`
+    twins).  fused_interpret runs the Pallas kernels in interpret mode
+    (CPU mesh validation).
 
     cond: carried pruning conditionals, consistent with (gen, seq) on
     entry and on return (the checkAll-style invariant is that
@@ -104,20 +112,26 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                 # draw-for-draw identical to the XLA sweep)
                 gen, lrng, lnld, lnp, cond, a = node_age_sweep_pallas(
                     gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp,
-                    cond)
+                    cond, interpret=fused_interpret)
             else:
                 gen, lrng, lnld, lnp, cond, a = update_internal_node_ages(
                     gen, params, seq, lrng, ctx, ft.coal_time, lnld, lnp,
                     cond)
             acc_ct = acc_ct + a
         if mig_time_on and ctx.num_bands > 0:
-            gen, lrng, lnp, a = update_mig_ages(
-                gen, params, lrng, ctx, ft.mig_time, lnp)
+            if use_fused:
+                gen, lrng, lnp, a = mig_age_sweep_pallas(
+                    gen, params, lrng, ctx, ft.mig_time, lnp,
+                    interpret=fused_interpret)
+            else:
+                gen, lrng, lnp, a = update_mig_ages(
+                    gen, params, lrng, ctx, ft.mig_time, lnp)
             acc_mt = acc_mt + a
         if spr_on:
             if use_fused and ctx.num_admixed == 0:
                 gen, lrng, lnld, cond, a = spr_sweep_pallas(
-                    gen, params, seq, lrng, ctx, lnld, cond)
+                    gen, params, seq, lrng, ctx, lnld, cond,
+                    interpret=fused_interpret, loci_axis=loci_axis)
             else:
                 gen, lrng, lnld, cond, a = update_spr(
                     gen, params, seq, lrng, ctx, lnld, cond)
@@ -135,7 +149,8 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                     update_locus_rates_paired)
 
                 gen, lrng, lnld, cond, a, dv = update_locus_rates_paired(
-                    gen, seq, lrng, ft.locus_rate, lnld, var_alpha, cond)
+                    gen, seq, lrng, ft.locus_rate, lnld, var_alpha, cond,
+                    loci_axis=loci_axis)
             else:
                 gen, lrng, lnld, a, dv = update_locus_rates(
                     gen, seq, lrng, ft.locus_rate, lnld, var_alpha)
@@ -147,27 +162,51 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     stats = full_stats(gen, params, ctx)
     if theta_on:
         params, grng, lnp, acc_th = update_thetas(
-            gen, params, grng, ctx, ft.theta, lnp, stats)
+            gen, params, grng, ctx, ft.theta, lnp, stats,
+            loci_axis=loci_axis)
     else:
         acc_th = jnp.zeros((), jnp.int32)
     if do_migrate and mig_rate_on and ctx.num_bands > 0:
         params, grng, lnp, acc_mr = update_mig_rates(
-            gen, params, grng, ctx, ft.mig_rate, lnp, stats)
+            gen, params, grng, ctx, ft.mig_rate, lnp, stats,
+            loci_axis=loci_axis)
     else:
         acc_mr = jnp.zeros((), jnp.int32)
 
     if tau_on:
-        gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = \
-            update_taus(gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
-                        cond, num_pops, num_cur_pops)
+        if use_fused:
+            from gphocs_tpu.kernels.tau import update_taus_fused
+
+            gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = \
+                update_taus_fused(gen, params, seq, grng, ctx, ft.taus,
+                                  lnld, lnp, cond, num_pops, num_cur_pops,
+                                  interpret=fused_interpret,
+                                  loci_axis=loci_axis)
+        else:
+            gen, params, grng, lnld, lnp, cond, acc_taus, conflicts = \
+                update_taus(gen, params, seq, grng, ctx, ft.taus, lnld, lnp,
+                            cond, num_pops, num_cur_pops,
+                            loci_axis=loci_axis)
     else:
         acc_taus = jnp.zeros((num_pops,), jnp.int32)
         conflicts = jnp.zeros((), jnp.int32)
     if any(sample_age_mask):
-        gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
-            update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
-                               lnld, lnp, cond, num_cur_pops,
-                               list(sample_age_mask))
+        if use_fused:
+            from gphocs_tpu.kernels.tau import update_sample_ages_fused
+
+            gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
+                update_sample_ages_fused(gen, params, seq, grng, ctx,
+                                         ft.taus, lnld, lnp, cond,
+                                         num_cur_pops,
+                                         list(sample_age_mask),
+                                         interpret=fused_interpret,
+                                         loci_axis=loci_axis)
+        else:
+            gen, params, grng, lnld, lnp, cond, acc_sa, conf_sa = \
+                update_sample_ages(gen, params, seq, grng, ctx, ft.taus,
+                                   lnld, lnp, cond, num_cur_pops,
+                                   list(sample_age_mask),
+                                   loci_axis=loci_axis)
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
 
@@ -181,20 +220,29 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         stats2 = full_stats(gen, params, ctx)
         gen, params, grng, lnld, lnp, cond, acc_mix = update_mixing(
             gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats2,
-            num_cur_pops)
+            num_cur_pops, loci_axis=loci_axis)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
 
     nmig_total = jnp.sum((gen.mig_branch >= 0).astype(jnp.int32))
 
+    from gphocs_tpu.kernels.common import maybe_psum
+
+    # per-locus accumulators all-reduce over the loci axis; counters of
+    # replicated global decisions (theta/tau/mixing/...) are already
+    # identical on every shard
     out = StepStats(
-        acc_coal_time=acc_ct, acc_mig_time=acc_mt, acc_spr=acc_spr,
+        acc_coal_time=maybe_psum(acc_ct, loci_axis),
+        acc_mig_time=maybe_psum(acc_mt, loci_axis),
+        acc_spr=maybe_psum(acc_spr, loci_axis),
         acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
         acc_mixing=acc_mix, acc_admix=acc_adm,
-        acc_locus_rate=acc_lr, rate_var_delta=dvar,
+        acc_locus_rate=maybe_psum(acc_lr, loci_axis),
+        rate_var_delta=maybe_psum(dvar, loci_axis),
         tau_conflicts=conflicts,
-        num_migs_total=nmig_total,
-        lnld_sum=jnp.sum(lnld), lnp_sum=jnp.sum(lnp))
+        num_migs_total=maybe_psum(nmig_total, loci_axis),
+        lnld_sum=maybe_psum(jnp.sum(lnld), loci_axis),
+        lnp_sum=maybe_psum(jnp.sum(lnp), loci_axis))
     return gen, params, lrng, grng, lnld, lnp, cond, out
 
 
@@ -217,7 +265,8 @@ class ChunkTrace(NamedTuple):
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on",
+                     "loci_axis", "fused_interpret"))
 def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                lnld, lnp, cond, ft: Finetunes, *, ctx: Context, n_iters: int,
                genetree_samples: int, do_migrate: bool, do_mixing: bool,
@@ -228,7 +277,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                locus_rate_on: bool = True, var_alpha: float = 1.0,
                admix_on: bool = True,
                use_fused: bool = False, spr_on: bool = True,
-               tau_on: bool = True):
+               tau_on: bool = True, loci_axis=None,
+               fused_interpret: bool = False):
     """Run n_iters full iterations in one compiled call (amortizes host
     dispatch; essential on TPU where per-call latency dwarfs compute for
     small models).  Returns accumulated StepStats and a ChunkTrace with
@@ -246,7 +296,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             mixing_on=mixing_on, var_rates=var_rates,
             locus_rate_on=locus_rate_on, var_alpha=var_alpha,
             admix_on=admix_on,
-            use_fused=use_fused, spr_on=spr_on, tau_on=tau_on)
+            use_fused=use_fused, spr_on=spr_on, tau_on=tau_on,
+            loci_axis=loci_axis, fused_interpret=fused_interpret)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
@@ -268,7 +319,8 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                      "sample_age_mask", "coal_time_on", "mig_time_on",
                      "theta_on", "mig_rate_on", "mixing_on", "var_rates",
                      "locus_rate_on", "var_alpha", "admix_on",
-                     "use_fused", "spr_on", "tau_on"))
+                     "use_fused", "spr_on", "tau_on",
+                     "loci_axis", "fused_interpret"))
 def mcmc_chunk_chains(gen, params, seq, lrng, grng, lnld, lnp, cond, ft, *,
                       ctx, n_iters, **static):
     """Multi-chain variant: every dynamic state carries a leading chains

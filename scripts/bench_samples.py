@@ -1,6 +1,6 @@
-"""Sample-axis bench: per-iteration cost at S=8 vs S=32 (run on TPU).
+"""Sample-axis bench: per-iteration cost at S=8 / S=32 / S=64 (run on TPU).
 
-Writes SAMPLES_r03.json.  The reference supports NS=200
+Writes SAMPLES_r04.json.  The reference supports NS=200
 (src/patch.h:17-22); this measures how the fused-sweep per-locus cost
 scales with the sample count at 1000 loci.
 """
@@ -26,10 +26,19 @@ def main():
     from tests.test_control import SAMPLE_CTL
     from tests.test_samples32 import S32_CTL
 
+    # S=64: 8 diploid individuals per current pop (32 diploids total)
+    S64_CTL = S32_CTL
+    for pop in "abcd":
+        S64_CTL = S64_CTL.replace(
+            f"samples  {pop}1 d {pop}2 d {pop}3 d {pop}4 d",
+            f"samples  {pop}1 d {pop}2 d {pop}3 d {pop}4 d "
+            f"{pop}5 d {pop}6 d {pop}7 d {pop}8 d")
+
     dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     rows = []
     for name, ctl_text in (("S8", SAMPLE_CTL),
-                           ("S32", S32_CTL.format(seq="x", trace="t.out"))):
+                           ("S32", S32_CTL.format(seq="x", trace="t.out")),
+                           ("S64", S64_CTL.format(seq="x", trace="t.out"))):
         cfg = parse_control_text(ctl_text)
         tree = build_poptree(cfg)
         S = tree.num_samples
@@ -58,13 +67,13 @@ def main():
                          compile_s=round(compile_s, 1)))
         print(rows[-1], flush=True)
 
-    r8, r32 = rows
+    r8 = rows[0]
     out = dict(device=str(jax.devices()[0]), num_loci=NUM_LOCI, iters=ITERS,
                rows=rows,
-               per_locus_cost_ratio=round(
-                   r32["ms_per_iter"] / r8["ms_per_iter"], 2))
+               cost_ratio_vs_S8={r["config"]: round(
+                   r["ms_per_iter"] / r8["ms_per_iter"], 2) for r in rows})
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SAMPLES_r03.json"), "w") as f:
+    with open(os.path.join(root, "SAMPLES_r04.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

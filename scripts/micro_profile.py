@@ -11,6 +11,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# f64 on CPU (exact conformance twin; no-op on TPU where the f32 branch
+# below is taken) — mirrors bench.py/golden_compare.py
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from gphocs_tpu.config import parse_control_text
@@ -33,16 +38,18 @@ def bench_data_path():
     return path
 
 
-def timeit(name, fn, *args):
+def timeit(name, fn, *args, n_timed: int = 3):
     f = jax.jit(fn)
     out = f(*args)
     jax.block_until_ready(out)
-    t0 = time.time()
-    out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / REPS
-    print(f"{name:34s} {dt*1e3:9.4f} ms/call")
-    return dt
+    best = float("inf")
+    for _ in range(n_timed):  # min over reps rejects host-side jitter
+        t0 = time.time()
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / REPS)
+    print(f"{name:34s} {best*1e3:9.4f} ms/call")
+    return best
 
 
 def main():
@@ -81,7 +88,8 @@ def main():
 
     timeit("full_stats", loop(
         lambda c, i: c + sum(map(jnp.sum, jax.tree_util.tree_leaves(
-            full_stats(gen._replace(age=gen.age + c * 0), params, ctx))))
+            full_stats(gen._replace(age=gen.age + c * 1e-30), params,
+                       ctx))))
         * 1e-30), jnp.zeros((), dtype))
 
     timeit("gen_log_prior", loop(
@@ -92,7 +100,11 @@ def main():
     timeit("make_tables", loop(
         lambda c, i: c + sum(map(jnp.sum, jax.tree_util.tree_leaves(
             make_tables(gen._replace(
-                father=gen.father + (c * 0).astype(jnp.int32)))))).astype(
+                # fold-proof int perturbation: nonzero only if the f32
+                # carry ever exceeds 2^30 (it cannot), but opaque to the
+                # algebraic simplifier unlike `c * 0`
+                father=gen.father + (c.astype(jnp.int32)
+                                     // jnp.int32(1 << 30))))))).astype(
                     dtype) * 1e-30), jnp.zeros((), dtype))
 
     timeit("full_rebuild_and_lnld", loop(

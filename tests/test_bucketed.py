@@ -111,3 +111,70 @@ def test_bucketed_posterior_matches_unbucketed(ragged_file):
     # skip the Sample counter column
     z = np.abs(mb[1:] - mu[1:]) / se[1:]
     assert np.max(z) < 6.0, (cols, z)
+
+
+def test_bucketed_checkpoint_resume_bit_exact(ragged_file, tmp_path):
+    """Checkpoint + resume in bucketed mode must continue bit-identically
+    (round-3 gap: save_checkpoint used to serialize the stale dense gen
+    and cond=None for bucketed samplers)."""
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 21
+    cfg.mcmc.mcmc_iterations = 8
+    cfg.mcmc.burn_in = 0
+    ckpt = str(tmp_path / "b.npz")
+
+    s1 = Sampler(cfg, seq_path=ragged_file, dtype=jnp.float64,
+                 rng_mode="fast", buckets=3)
+    cols1, rows1 = s1.run(checkpoint_path=ckpt, checkpoint_every=4)
+
+    # restart from the mid-run checkpoint written at iteration 4
+    import numpy as _np
+    from gphocs_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg2 = parse_control_text(SAMPLE_CTL)
+    cfg2.mcmc.random_seed = 21
+    cfg2.mcmc.mcmc_iterations = 8
+    cfg2.mcmc.burn_in = 0
+    s2 = Sampler(cfg2, seq_path=ragged_file, dtype=jnp.float64,
+                 rng_mode="fast", buckets=3)
+    s2.initialize()
+    # write a fresh checkpoint at iteration 4 by re-running the first half
+    s2.step_chunk(4, do_migrate=cfg2.mcmc.start_mig < 0)
+    save_checkpoint(s2, str(tmp_path / "mid.npz"), 4)
+
+    s3 = Sampler(cfg2, seq_path=ragged_file, dtype=jnp.float64,
+                 rng_mode="fast", buckets=3)
+    s3.initialize()
+    it = load_checkpoint(s3, str(tmp_path / "mid.npz"))
+    assert it == 4
+    for a, b in zip(s2.gens, s3.gens):
+        for x, y in zip(a, b):
+            _np.testing.assert_array_equal(_np.asarray(x), _np.asarray(y))
+    # continue both; they must stay identical
+    s2.step_chunk(4, do_migrate=cfg2.mcmc.start_mig < 0)
+    s3.step_chunk(4, do_migrate=cfg2.mcmc.start_mig < 0)
+    _np.testing.assert_array_equal(_np.asarray(s2.lnld),
+                                   _np.asarray(s3.lnld))
+    for a, b in zip(s2.gens, s3.gens):
+        _np.testing.assert_array_equal(_np.asarray(a.age),
+                                       _np.asarray(b.age))
+
+
+def test_bucketed_debug_check_gate(ragged_file):
+    """--debug-check must work (not silently mis-compare) in bucketed
+    mode: clean run passes, corrupted carried lnld is caught."""
+    from gphocs_tpu.debugcheck import check_likelihoods
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 23
+    cfg.mcmc.mcmc_iterations = 6
+    cfg.mcmc.burn_in = 0
+    s = Sampler(cfg, seq_path=ragged_file, dtype=jnp.float64,
+                rng_mode="fast", buckets=3)
+    s.run(debug_check=True)  # gate at the final log point must pass
+    assert check_likelihoods(s) == []
+    # corrupt one bucket's carried lnld: the gate must fire
+    s.lnlds = tuple(ln + (0.5 if k == 1 else 0.0)
+                    for k, ln in enumerate(s.lnlds))
+    errs = check_likelihoods(s)
+    assert errs and "bucket 1" in errs[0]

@@ -119,3 +119,41 @@ def test_fast_mode_with_mesh(data_file):
     st, _ = s.step_chunk(2, do_migrate=True)
     lnld2 = data_log_likelihood_cached(s.gen, s.seq)
     assert float(jnp.max(jnp.abs(s.lnld - lnld2))) < 1e-7
+
+
+def test_f32_long_run_structural_invariants(data_file):
+    """Regression gate for the round-3 GOLDEN_FUSED f32 bias: the SPR
+    hazard inversion used prev_cum = cum_k - hz_k, which cancels
+    catastrophically in f32 on the huge [root age, OLDAGE] segment and
+    committed coalescences BELOW the segment (nodes outside their pop
+    window, eventually cyclic topologies).  400 f32 iterations of the
+    production update schedule must keep every structural invariant and
+    an acyclic father map.  (The f32 XLA path is the bitwise-tested twin
+    of the fused TPU kernels, so this gates the production path.)"""
+    from gphocs_tpu.debugcheck import check_gen_state
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    cfg.mcmc.random_seed = 4242
+    cfg.mcmc.start_mig = 0
+    s = Sampler(cfg, seq_path=data_file, dtype=jnp.float32, rng_mode="fast")
+    s.initialize()
+    s._sample_mig_rates_device()
+    for _ in range(4):
+        s.step_chunk(100, do_migrate=True)
+        # f32-scaled tolerance: ulp-level window rounding is fine, the
+        # bug-class violations were 1e-5-scale
+        errs = check_gen_state(s.gen, s.params, s.tree, atol=1e-6)
+        assert not errs, errs[:5]
+        fa = np.asarray(s.gen.father)
+        L, N = fa.shape
+        # acyclicity: N father-hops from any node must reach the root
+        cur = np.arange(N)[None, :].repeat(L, 0)
+        for _h in range(N):
+            cur = np.where(cur >= 0, fa[np.arange(L)[:, None],
+                                        np.maximum(cur, 0)], cur)
+        assert (cur < 0).all(), "father map contains a cycle"
+        # carried likelihoods stay consistent at f32 tolerance
+        lnld2 = data_log_likelihood_cached(s.gen, s.seq)
+        lnp2 = gen_log_prior(s.gen, s.params, s.ctx)
+        assert float(jnp.max(jnp.abs(s.lnld - lnld2))) < 5e-3
+        assert float(jnp.max(jnp.abs(s.lnp - lnp2))) < 5e-2

@@ -197,3 +197,51 @@ def test_multi_chain_run(data_file):
     p0 = Pr(*[np.asarray(x)[0] for x in s.params])
     errs = check_gen_state(g0, p0, s.tree)
     assert not errs, "\n".join(errs[:5])
+
+
+def test_debugcheck_vectorized_matches_slow_oracle(data_file):
+    """The vectorized checkAll analogue must flag exactly the loci the
+    per-locus loop oracle flags — on a clean state (no errors) and on
+    deliberately corrupted states (each corruption class detected)."""
+    import jax.numpy as jnp
+    from gphocs_tpu.debugcheck import check_gen_state, check_gen_state_slow
+
+    s = _make_sampler(data_file, mcmc_iterations=5)
+    s.run()
+    assert check_gen_state(s.gen, s.params, s.tree) == []
+    assert check_gen_state_slow(s.gen, s.params, s.tree) == []
+
+    def loci_of(errs):
+        out = set()
+        for e in errs:
+            if e.startswith("locus "):
+                out.add(int(e.split()[1].rstrip(":")))
+        return out
+
+    # corruption 1: break a father link
+    g = s.gen._replace(father=s.gen.father.at[3, -1].set(0))
+    v_loci = loci_of(check_gen_state(g, s.params, s.tree))
+    o_loci = loci_of(check_gen_state_slow(g, s.params, s.tree))
+    assert 3 in v_loci and v_loci == o_loci
+
+    # corruption 2: age below a son's age
+    S = s.tree.num_samples
+    g = s.gen._replace(age=s.gen.age.at[5, S].set(-1.0))
+    v = check_gen_state(g, s.params, s.tree)
+    o = check_gen_state_slow(g, s.params, s.tree)
+    assert 5 in loci_of(v) and 5 in loci_of(o)
+
+    # corruption 3: leaf age != sample age
+    g = s.gen._replace(age=s.gen.age.at[7, 0].set(0.125))
+    assert 7 in loci_of(check_gen_state(g, s.params, s.tree))
+    assert 7 in loci_of(check_gen_state_slow(g, s.params, s.tree))
+
+    # corruption 4: migration event pushed outside its band window
+    mbr = np.asarray(s.gen.mig_branch)
+    live = np.argwhere(mbr >= 0)
+    if len(live):
+        l, m = live[0]
+        g = s.gen._replace(mig_age=s.gen.mig_age.at[int(l), int(m)]
+                           .set(999.0))
+        assert int(l) in loci_of(check_gen_state(g, s.params, s.tree))
+        assert int(l) in loci_of(check_gen_state_slow(g, s.params, s.tree))

@@ -115,3 +115,38 @@ def test_s32_sampler_runs_and_invariants(tmp_path):
         ok = fa[:, n] < 0
         fa_safe = np.where(ok, 0, fa[:, n])
         assert np.all(ok | (age[np.arange(L), fa_safe] >= age[:, n] - 1e-12))
+
+
+def test_s64_sampler_runs_and_invariants(tmp_path):
+    """S=64 (32 diploid individuals): the next doubling toward the
+    reference's NS=200 ceiling (src/patch.h:17-22).  Correctness gate for
+    the sample-axis capacity artifact (SAMPLES_r04.json)."""
+    from gphocs_tpu.io.simulate import simulate_seq_file
+    from gphocs_tpu.model import build_poptree
+    from gphocs_tpu.debugcheck import check_gen_state
+
+    s64 = S32_CTL
+    for pop in "abcd":
+        s64 = s64.replace(
+            f"samples  {pop}1 d {pop}2 d {pop}3 d {pop}4 d",
+            f"samples  {pop}1 d {pop}2 d {pop}3 d {pop}4 d "
+            f"{pop}5 d {pop}6 d {pop}7 d {pop}8 d")
+    seq = str(tmp_path / "seqs.txt")
+    ctl = s64.format(seq=seq, trace=str(tmp_path / "t.out"))
+    cfg = parse_control_text(ctl)
+    tree = build_poptree(cfg)
+    assert tree.num_samples == 64
+    simulate_seq_file(cfg, tree, seq, num_loci=6, seq_len=200, seed=43)
+
+    cfg = parse_control_text(ctl)
+    cfg.mcmc.start_mig = 0
+    s = Sampler(cfg, seq_path=seq, dtype=jnp.float64, rng_mode="fast")
+    s.initialize()
+    assert s.gen.num_nodes == 127
+    st, _ = s.step_chunk(3, do_migrate=True)
+    assert int(st.acc_coal_time) > 0
+    lnld2 = data_log_likelihood_cached(s.gen, s.seq)
+    lnp2 = gen_log_prior(s.gen, s.params, s.ctx)
+    assert float(jnp.max(jnp.abs(s.lnld - lnld2))) < 1e-6
+    assert float(jnp.max(jnp.abs(s.lnp - lnp2))) < 1e-5
+    assert check_gen_state(s.gen, s.params, s.tree) == []
