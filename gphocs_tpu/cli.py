@@ -88,11 +88,11 @@ def main(argv=None):
 
         mesh = make_mesh()
 
-    cfg = parse_control_file(args.control_file, args.secondary_control)
     # mode resolution: TPU defaults to the PRODUCTION configuration (fast
     # RNG + fused kernels — the exact path bench.py measures); CPU
     # defaults to the conformance mode (legacy RNG, f64).  --legacy-rng /
-    # --fast-rng override explicitly; contradictions raise.
+    # --fast-rng override explicitly; contradictions raise BEFORE any
+    # file parsing (argument validation, support-matrix README.md).
     if args.legacy_rng and args.fast_rng:
         ap.error("--legacy-rng and --fast-rng are mutually exclusive")
     if args.fast_rng is None and not args.legacy_rng:
@@ -103,6 +103,7 @@ def main(argv=None):
                              or args.chains > 1 or not fast):
         ap.error("--buckets requires fast RNG, a single device and one "
                  "chain (see the support matrix in README.md)")
+    cfg = parse_control_file(args.control_file, args.secondary_control)
     print(f"gphocs_tpu on {platform} "
           f"({len(jax.devices())} device(s)), "
           f"{'float64' if use_x64 else 'float32'}, "

@@ -194,6 +194,24 @@ class Sampler:
                 group_nphases=np.ones((self.num_loci, 1)),
                 pattern_valid=np.zeros((self.num_loci, 1), bool),
             )
+        # VMEM feasibility of the whole-sweep kernels: two conditional
+        # buffers (working + proposal scratch) at the minimum 128-lane
+        # tile must fit the _pick_tile budget (ops/sweeps_pallas.py).
+        # Beyond it (large samples x patterns) fall back to the XLA path
+        # rather than fail Mosaic allocation — the documented sample-axis
+        # capacity bound (SAMPLES_r04.json).
+        if self.use_fused and seq_path is not None:
+            N_nodes = 2 * cfg.num_samples - 1
+            P_pat = int(self.seq.leaf_base.shape[2])
+            CPWP = (4 * P_pat + 7) // 8 * 8
+            if 2 * N_nodes * CPWP * 128 * 4 > 8 * 1024 * 1024:
+                import warnings
+
+                warnings.warn(
+                    f"fused kernels disabled: conditionals "
+                    f"({N_nodes} nodes x {P_pat} patterns) exceed the "
+                    f"VMEM tile budget; using the XLA path")
+                self.use_fused = False
         self.pad_loci = 0
         if mesh is not None:
             n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

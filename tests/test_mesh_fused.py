@@ -1,0 +1,120 @@
+"""Fused production kernels under the loci mesh (shard_map).
+
+The round-3 fast path could not shard at all (use_fused required
+mesh=None).  These tests run the fused kernels (interpret mode — the
+Pallas TPU kernels' semantics twin on CPU) inside shard_map over a
+4-device virtual mesh:
+
+* the node-age sweep consumes per-lane fixed RNG offsets, so its result
+  must be BIT-IDENTICAL however the loci are sharded;
+* a full fused mcmc_chunk under the mesh must execute, psum its global
+  decisions identically on every shard, and keep the checkAll
+  invariants (the SPR walk's per-tile draw synchronization makes the
+  full chunk statistically — not bitwise — equivalent to unsharded;
+  docs/DESIGN.md round 4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gphocs_tpu.config import parse_control_text
+from gphocs_tpu.sampler.driver import Sampler
+from tests.test_control import SAMPLE_CTL
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    from gphocs_tpu.io.simulate import simulate_seq_file
+    from gphocs_tpu.model import build_poptree
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    tree = build_poptree(cfg)
+    path = str(tmp_path_factory.mktemp("meshfused") / "seqs.txt")
+    simulate_seq_file(cfg, tree, path, num_loci=16, seq_len=200, seed=23)
+    return path
+
+
+def _fused_sampler(path, mesh=None):
+    os.environ["GPHOCS_FUSED_INTERPRET"] = "1"
+    try:
+        cfg = parse_control_text(SAMPLE_CTL)
+        cfg.mcmc.random_seed = 77
+        cfg.mcmc.start_mig = 0
+        s = Sampler(cfg, seq_path=path, dtype=jnp.float32, rng_mode="fast",
+                    mesh=mesh)
+        assert s.use_fused
+        s.initialize()
+        s._sample_mig_rates_device()
+    finally:
+        os.environ.pop("GPHOCS_FUSED_INTERPRET", None)
+    return s
+
+
+def test_node_age_sweep_shard_map_bitwise(data_file):
+    """Sharded fused node-age sweep == unsharded, bit for bit."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:
+        from jax import shard_map
+    from gphocs_tpu.ops.sweeps_pallas import node_age_sweep_pallas
+    from gphocs_tpu.parallel.mesh import make_mesh
+
+    s = _fused_sampler(data_file)
+    mesh = make_mesh(jax.devices()[:4])
+
+    ref = node_age_sweep_pallas(s.gen, s.params, s.seq, s.lrng, s.ctx,
+                                s.ft.coal_time, s.lnld, s.lnp, s.cond,
+                                tile=8, interpret=True)
+
+    lspec, rspec = P("loci"), P()
+
+    def lsp(tree):
+        return jax.tree_util.tree_map(
+            lambda x: lspec if jnp.ndim(x) >= 1 else rspec, tree)
+
+    def rsp(tree):
+        return jax.tree_util.tree_map(lambda x: rspec, tree)
+
+    def local(gen, params, seq, lrng, lnld, lnp, cond, ft, ctx):
+        return node_age_sweep_pallas(gen, params, seq, lrng, ctx, ft,
+                                     lnld, lnp, cond, tile=8,
+                                     interpret=True)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(lsp(s.gen), rsp(s.params), lsp(s.seq), lsp(s.lrng),
+                  lspec, lspec, lspec, rspec, rsp(s.ctx)),
+        out_specs=(lsp(s.gen), lsp(s.lrng), lspec, lspec, lspec, rspec),
+        check_rep=False)
+    # acc is a shard-local sum -> returned per-shard; compare summed
+    out = fn(s.gen, s.params, s.seq, s.lrng, s.lnld, s.lnp, s.cond,
+             s.ft.coal_time, s.ctx)
+
+    np.testing.assert_array_equal(np.asarray(ref[0].age),
+                                  np.asarray(out[0].age))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(out[3]))
+    np.testing.assert_array_equal(np.asarray(ref[4]), np.asarray(out[4]))
+    assert int(ref[1].ctr) == int(out[1].ctr)
+
+
+def test_fused_chunk_under_mesh_runs_and_invariants(data_file):
+    """Full production chunk under the 4-device mesh: executes, global
+    decisions replicate, invariants hold, trace is finite."""
+    from gphocs_tpu.debugcheck import check_gen_state, check_likelihoods
+    from gphocs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    s = _fused_sampler(data_file, mesh=mesh)
+    stats, trace = s.step_chunk(3, do_migrate=True)
+    assert np.isfinite(np.asarray(s.lnld)).all()
+    assert np.isfinite(np.asarray(trace.lnld_sum)).all()
+    assert int(stats.acc_coal_time) > 0
+    errs = check_gen_state(s.gen, s.params, s.tree, atol=1e-6)
+    assert not errs, errs[:5]
+    assert check_likelihoods(s, atol=5e-2) == []

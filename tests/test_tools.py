@@ -105,3 +105,36 @@ def test_coal_stats_diagnostics():
                 common = [v for v in ancestors(j) if v in ai]
                 expect = min(age[l, v] for v in common)
                 np.testing.assert_allclose(lca[l, i, j], expect, rtol=1e-12)
+
+
+def test_cli_mode_gating(tmp_path, capsys):
+    """Support-matrix gating: contradictory/unsupported CLI combos raise
+    (README 'Mode support matrix')."""
+    import pytest
+    from gphocs_tpu.cli import main as cli_main
+
+    ctl = tmp_path / "x.ctl"
+    ctl.write_text("GENERAL-INFO-START\nGENERAL-INFO-END\n")
+    with pytest.raises(SystemExit):
+        cli_main([str(ctl), "--legacy-rng", "--fast-rng"])
+    with pytest.raises(SystemExit):
+        cli_main([str(ctl), "--buckets", "4", "--legacy-rng"])
+    with pytest.raises(SystemExit):
+        cli_main([str(ctl), "--buckets", "4", "--fast-rng", "--mesh"])
+    with pytest.raises(SystemExit):
+        cli_main([str(ctl), "--buckets", "4", "--fast-rng", "--chains",
+                  "2"])
+
+
+def test_sampler_bucket_combo_guards(tmp_path):
+    """Sampler constructor refuses unsupported bucket compositions."""
+    import pytest
+    from gphocs_tpu.config import parse_control_text
+    from gphocs_tpu.sampler.driver import Sampler
+    from tests.test_control import SAMPLE_CTL
+
+    cfg = parse_control_text(SAMPLE_CTL)
+    with pytest.raises(AssertionError):
+        Sampler(cfg, num_loci=4, rng_mode="legacy", buckets=2)
+    with pytest.raises(AssertionError):
+        Sampler(cfg, num_loci=4, rng_mode="fast", buckets=2, chains=2)
