@@ -100,12 +100,16 @@ def load_checkpoint(sampler, path: str) -> int:
                           z=cast(data[f"{pfx}_z"]))
 
     n_buckets = int(data["n_buckets"]) if "n_buckets" in data else 1
+    sampler_buckets = getattr(sampler, "buckets", 1)
+    if sampler_buckets != n_buckets:
+        raise ValueError(
+            f"checkpoint bucket count ({n_buckets}) does not match the "
+            f"sampler ({sampler_buckets}); a non-bucketed checkpoint cannot "
+            "resume a bucketed run (and vice versa)")
     sampler.params = Params(**{
         name: cast(data[f"params_{name}"]) for name in Params._fields})
     sampler.grng = _load_rng("grng")
     if n_buckets > 1:
-        assert getattr(sampler, "buckets", 1) == n_buckets, \
-            "checkpoint bucket count does not match the sampler"
         import jax.numpy as _jnp
 
         gens, lrngs, lnlds, lnps, conds = [], [], [], [], []

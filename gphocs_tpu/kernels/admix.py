@@ -13,16 +13,19 @@ import jax.numpy as jnp
 from jax import lax
 
 from gphocs_tpu import rng as R
-from gphocs_tpu.kernels.common import Context, scalar_mh_accept
+from gphocs_tpu.kernels.common import Context, maybe_psum, scalar_mh_accept
 from gphocs_tpu.state import GenState, Params
 from gphocs_tpu.utils import reflect
 
 
 def update_admix_coeffs(gen: GenState, params: Params, rng_state,
-                        ctx: Context, finetune, lnp: jnp.ndarray):
+                        ctx: Context, finetune, lnp: jnp.ndarray,
+                        loci_axis=None):
     """Returns (params, rng_state, lnp, accepted)."""
     A = ctx.num_admixed
-    nloci = jnp.sum(gen.valid.astype(lnp.dtype))
+    # assignment counts are global quantities: reduce over the loci mesh
+    # axis so every shard makes the same accept decision
+    nloci = maybe_psum(jnp.sum(gen.valid.astype(lnp.dtype)), loci_axis)
 
     def body(carry, a):
         params, rng_state, lnp, acc = carry
@@ -33,7 +36,7 @@ def update_admix_coeffs(gen: GenState, params: Params, rng_state,
         slot = ctx.admix_slot[a]
         in_second = ((gen.node_pop[:, slot] == ctx.admix_pops[a, 1])
                      & gen.valid)
-        n2 = jnp.sum(in_second.astype(lnp.dtype))
+        n2 = maybe_psum(jnp.sum(in_second.astype(lnp.dtype)), loci_axis)
         log_r = jnp.log(c_new / c_old)
         log_cr = jnp.log((1.0 - c_new) / (1.0 - c_old))
         lnacc = n2 * log_r + (nloci - n2) * log_cr

@@ -42,6 +42,7 @@ from gphocs_tpu.kernels.common import (
     Context,
     band_windows,
     gen_log_prior,
+    maybe_pmax,
     maybe_psum,
     scalar_mh_accept,
 )
@@ -260,6 +261,19 @@ def _select(cond, new, old):
     return jnp.where(cond, new, old)
 
 
+def _globalize_decision(ntj0, ntj1, conflict, loci_axis):
+    """Jacobian counts and the conflict flag are shard-local quantities
+    (sums / any over the local loci shard); the MH decision is global.
+    Reduce them over the loci mesh axis so every shard computes the same
+    lnacc, consumes (or skips) the same accept draw, and commits the same
+    replicated params/tau — the twins of the reference's atomic ntj
+    accumulation and shared mig_conflict flag (src/GPhoCS.c:3611-3624)."""
+    ntj0 = maybe_psum(ntj0, loci_axis)
+    ntj1 = maybe_psum(ntj1, loci_axis)
+    conflict = maybe_pmax(jnp.asarray(conflict, jnp.int32), loci_axis) > 0
+    return ntj0, ntj1, conflict
+
+
 def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
                 ctx: Context, finetunes_taus, lnld, lnp, cond,
                 num_pops: int, num_cur_pops: int, loci_axis=None):
@@ -301,6 +315,8 @@ def update_taus(gen: GenState, params: Params, seq: SeqData, rng_state,
             _rubber_band_proposal(gen, params, seq, ctx, pop, False,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
                                   tables)
+        ntj0, ntj1, conflict = _globalize_decision(ntj0, ntj1, conflict,
+                                                   loci_axis)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]
@@ -363,6 +379,8 @@ def update_taus_fused(gen: GenState, params: Params, seq: SeqData,
             rubber_band_eval_pallas(gen, params, seq, ctx, pop, False,
                                     taub0, taub1, tauold, taunew, cond,
                                     interpret=interpret)
+        ntj0, ntj1, conflict = _globalize_decision(ntj0, ntj1, conflict,
+                                                   loci_axis)
         params_p = params._replace(tau=params.tau.at[pop].set(taunew))
         lnf0 = jnp.log((taunew - taub0) / (tauold - taub0))
         lnf1 = lnf0 if is_root else jnp.log((taunew - taub1)
@@ -412,6 +430,8 @@ def update_sample_ages_fused(gen: GenState, params: Params, seq: SeqData,
             rubber_band_eval_pallas(gen, params, seq, ctx, pop, True,
                                     taub0, taub1, tauold, taunew, cond,
                                     interpret=interpret)
+        ntj0, ntj1, conflict = _globalize_decision(ntj0, ntj1, conflict,
+                                                   loci_axis)
         params_p = params._replace(
             sample_age=params.sample_age.at[pop].set(taunew))
         lnf0 = jnp.log((taunew - taub0) / (tauold - taub0))
@@ -461,6 +481,8 @@ def update_sample_ages(gen: GenState, params: Params, seq: SeqData, rng_state,
             _rubber_band_proposal(gen, params, seq, ctx, pop, True,
                                   taub0, taub1, tauold, taunew, lnld, lnp,
                                   tables)
+        ntj0, ntj1, conflict = _globalize_decision(ntj0, ntj1, conflict,
+                                                   loci_axis)
 
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop]

@@ -460,6 +460,7 @@ class Sampler:
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
             use_fused=self.use_fused and self.mesh is None,
+            fused_interpret=self.fused_interpret,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))
                                / max(self.chains, 1))

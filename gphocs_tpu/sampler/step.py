@@ -212,7 +212,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
 
     if ctx.num_admixed > 0 and admix_on:
         params, grng, lnp, acc_adm = update_admix_coeffs(
-            gen, params, grng, ctx, ft.admix, lnp)
+            gen, params, grng, ctx, ft.admix, lnp, loci_axis=loci_axis)
     else:
         acc_adm = jnp.zeros((), jnp.int32)
 
@@ -237,8 +237,11 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         acc_spr=maybe_psum(acc_spr, loci_axis),
         acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
         acc_mixing=acc_mix, acc_admix=acc_adm,
-        acc_locus_rate=maybe_psum(acc_lr, loci_axis),
-        rate_var_delta=maybe_psum(dvar, loci_axis),
+        # acc_lr / dvar are already all-reduced by update_locus_rates_paired
+        # (with the global-L denominator); psumming again would inflate both
+        # by the mesh axis size and skew the finetune adaptation
+        acc_locus_rate=acc_lr,
+        rate_var_delta=dvar,
         tau_conflicts=conflicts,
         num_migs_total=maybe_psum(nmig_total, loci_axis),
         lnld_sum=maybe_psum(jnp.sum(lnld), loci_axis),

@@ -111,10 +111,99 @@ def test_fused_chunk_under_mesh_runs_and_invariants(data_file):
 
     mesh = make_mesh(jax.devices()[:4])
     s = _fused_sampler(data_file, mesh=mesh)
-    stats, trace = s.step_chunk(3, do_migrate=True)
+    stats, trace = s.step_chunk(6, do_migrate=True)
     assert np.isfinite(np.asarray(s.lnld)).all()
     assert np.isfinite(np.asarray(trace.lnld_sum)).all()
     assert int(stats.acc_coal_time) > 0
     errs = check_gen_state(s.gen, s.params, s.tree, atol=1e-6)
     assert not errs, errs[:5]
-    assert check_likelihoods(s, atol=5e-2) == []
+    # carried vs freshly-recomputed likelihoods at the f32 drift scale
+    assert check_likelihoods(s, atol=3e-3) == []
+
+
+def test_tau_decisions_sharded_equal_unsharded(data_file):
+    """The tau/sample-age rubber-band MH decision is GLOBAL: Jacobian
+    counts (ntj0/ntj1) and the conflict flag must all-reduce over the
+    loci axis before the accept draw.  Run many tau sweeps sharded vs
+    unsharded and assert (a) every shard carries the IDENTICAL tau vector
+    (exposed via a loci-sharded broadcast copy, since check_rep=False
+    would otherwise mask divergence), and (b) it equals the unsharded
+    run bit for bit.  Regression test for the round-4 advisor finding."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:
+        from jax import shard_map
+    from gphocs_tpu.kernels.tau import update_taus
+    from gphocs_tpu.parallel.mesh import make_mesh
+
+    s = _fused_sampler(data_file)
+    # seed some migration events so conflict paths can trigger
+    for _ in range(2):
+        s.step(do_migrate=True)
+    mesh = make_mesh(jax.devices()[:4])
+    n_sweeps = 12
+
+    def sweeps(gen, params, seq, grng, lnld, lnp, cond, ft_taus, ctx,
+               loci_axis):
+        accs = []
+        for _ in range(n_sweeps):
+            gen, params, grng, lnld, lnp, cond, acc, conf = update_taus(
+                gen, params, seq, grng, ctx, ft_taus, lnld, lnp, cond,
+                s.tree.num_pops, s.tree.num_cur_pops, loci_axis=loci_axis)
+            accs.append(acc)
+        return gen, params, grng, lnld, lnp, cond, jnp.stack(accs)
+
+    ref = jax.jit(lambda *a: sweeps(*a, loci_axis=None))(
+        s.gen, s.params, s.seq, s.grng, s.lnld, s.lnp, s.cond,
+        s.ft.taus, s.ctx)
+
+    lspec, rspec = P("loci"), P()
+
+    def lsp(tree):
+        return jax.tree_util.tree_map(
+            lambda x: lspec if jnp.ndim(x) >= 1 else rspec, tree)
+
+    def rsp(tree):
+        return jax.tree_util.tree_map(lambda x: rspec, tree)
+
+    def local(gen, params, seq, grng, lnld, lnp, cond, ft_taus, ctx):
+        out = sweeps(gen, params, seq, grng, lnld, lnp, cond, ft_taus,
+                     ctx, loci_axis="loci")
+        gen, params, grng, lnld, lnp, cond, accs = out
+        # per-shard copy of the nominally-replicated tau vector: sharded
+        # output -> one row per shard, so divergence is visible
+        tau_copies = jnp.broadcast_to(params.tau[None, :],
+                                      (1, params.tau.shape[0]))
+        return gen, params, grng, lnld, lnp, cond, accs, tau_copies
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(lsp(s.gen), rsp(s.params), lsp(s.seq), rsp(s.grng),
+                  lspec, lspec, lspec, rspec, rsp(s.ctx)),
+        out_specs=(lsp(s.gen), rsp(s.params), rsp(s.grng), lspec, lspec,
+                   lspec, rspec, lspec),
+        check_rep=False))
+    out = fn(s.gen, s.params, s.seq, s.grng, s.lnld, s.lnp, s.cond,
+             s.ft.taus, s.ctx)
+    (gen_s, params_s, grng_s, lnld_s, lnp_s, cond_s, accs_s,
+     tau_copies) = out
+
+    # (a) every shard committed the same taus
+    tau_rows = np.asarray(tau_copies)
+    for row in tau_rows[1:]:
+        np.testing.assert_array_equal(tau_rows[0], row)
+    # (b) bit-identical to the unsharded run: params, per-locus state,
+    # acceptance history, and the general RNG stream position
+    np.testing.assert_array_equal(np.asarray(ref[1].tau),
+                                  np.asarray(params_s.tau))
+    np.testing.assert_array_equal(np.asarray(ref[0].age),
+                                  np.asarray(gen_s.age))
+    np.testing.assert_array_equal(np.asarray(ref[6]), np.asarray(accs_s))
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(lnld_s))
+    r0, r1 = ref[2], grng_s
+    for f in r0._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(r0, f)),
+                                      np.asarray(getattr(r1, f)))
+    # the sweeps actually decided something (accepts occurred)
+    assert int(np.asarray(ref[6]).sum()) > 0
