@@ -1346,18 +1346,60 @@ def rubber_band_eval_pallas(gen: GenState, params: Params, seq: SeqData,
 # Kernel 2: full SPR-with-migration sweep (UpdateGB_MigSPR)
 # --------------------------------------------------------------------------
 
-def _sort_rows(rows):
-    """Odd-even transposition sort of a list of [1, TL] rows (ascending).
-    K passes guarantee a sorted network for K rows."""
-    K = len(rows)
-    rows = list(rows)
-    for p_ in range(K):
-        start = p_ % 2
-        for j in range(start, K - 1, 2):
-            a, b = rows[j], rows[j + 1]
-            rows[j] = jnp.minimum(a, b)
-            rows[j + 1] = jnp.maximum(a, b)
-    return rows
+def _shift_rows_down(x, s, fill):
+    """Rows shifted down by s (row k reads row k-s); top s rows = fill."""
+    if s == 0:
+        return x
+    K = x.shape[0]
+    pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([pad, x[:K - s]], axis=0)
+
+
+def _shift_rows_up(x, s, fill):
+    if s == 0:
+        return x
+    K = x.shape[0]
+    pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([x[s:], pad], axis=0)
+
+
+def _bitonic_sort_rows(x):
+    """Ascending bitonic sort along axis 0 of [KP, TL] (KP a power of 2).
+
+    O(log^2 KP) whole-array stages — the Mosaic program size no longer
+    grows with the row count (the round-3 odd-even transposition network
+    unrolled K^2/2 per-row compare-exchanges, the main term of the fused
+    SPR kernel's ~O(N^2) compile blowup; docs/DESIGN.md sample-axis
+    ledger).  Partner rows (index XOR j) are fetched with static-shift
+    concatenates: for (i & j) == 0 the partner is i + j (shift up),
+    else i - j (shift down).  Sorted VALUES are what flows downstream,
+    so any correct network is bitwise-equivalent."""
+    KP, TL = x.shape
+    kio = lax.broadcasted_iota(jnp.int32, (KP, TL), 0)
+    k = 2
+    while k <= KP:
+        j = k // 2
+        while j >= 1:
+            low = (kio & j) == 0
+            pv = jnp.where(low, _shift_rows_up(x, j, _BIG),
+                           _shift_rows_down(x, j, -_BIG))
+            up = (kio & k) == 0
+            take_min = low == up
+            x = jnp.where(take_min, jnp.minimum(x, pv), jnp.maximum(x, pv))
+            j //= 2
+        k *= 2
+    return x
+
+
+def _prefix_rows_incl_int(x):
+    """Inclusive prefix sum along axis 0 (integer: exact under any
+    association, so the log-depth tree is bitwise-safe)."""
+    K = x.shape[0]
+    s = 1
+    while s < K:
+        x = x + _shift_rows_down(x, s, 0)
+        s *= 2
+    return x
 
 
 def _spr_kernel(ctr_ref,
@@ -1495,29 +1537,28 @@ def _spr_kernel(ctr_ref,
             branch_pop_m = jnp.concatenate(bp_rows, axis=0)
 
         # ---- segment grid (sorted boundaries + per-segment tables) ----
-        bnd = [age[n:n + 1, :] for n in range(N)]
-        for m in range(M):
-            bnd.append(jnp.where(act[m:m + 1, :], mag[m:m + 1, :],
-                                 jnp.zeros((1, TL), dt)))
-        for p_ in range(PP):
-            bnd.append(jnp.broadcast_to(tau[p_:p_ + 1, :], (1, TL)))
-        for b_ in range(B):
-            bnd.append(jnp.broadcast_to(bs_ref[b_:b_ + 1, :], (1, TL)))
-            bnd.append(jnp.broadcast_to(be_ref[b_:b_ + 1, :], (1, TL)))
-        bnd.append(jnp.full((1, TL), oa, dt))
-        srows = _sort_rows(bnd)                              # K rows asc
-        b_sorted = jnp.concatenate(srows, axis=0)            # [K, TL]
-        lo_base = jnp.concatenate([jnp.zeros((1, TL), dt)] + srows[:-1],
-                                  axis=0)
+        bnd_parts = [age, jnp.where(act, mag, jnp.zeros((), dt)),
+                     jnp.broadcast_to(tau, (PP, TL))]
+        if B > 0:
+            bnd_parts.append(jnp.broadcast_to(bs_ref[:], (B, TL)))
+            bnd_parts.append(jnp.broadcast_to(be_ref[:], (B, TL)))
+        bnd_parts.append(jnp.full((1, TL), oa, dt))
+        bnd2 = jnp.concatenate(bnd_parts, axis=0)            # [K, TL]
+        KP = 1
+        while KP < K:
+            KP *= 2
+        if KP > K:
+            bnd2 = jnp.concatenate(
+                [bnd2, jnp.full((KP - K, TL), _BIG, dt)], axis=0)
+        b_sorted = _bitonic_sort_rows(bnd2)[:K]              # [K, TL] asc
+        lo_base = _shift_rows_down(b_sorted, 1, jnp.zeros((), dt))
         mids = 0.5 * (lo_base + b_sorted)
 
         # lineage counts per (segment, base pop), excluding the pruned edge
         nbase = [jnp.zeros((K, TL), dt) for _ in range(PP)]
-        alive_rows = []
         for n in range(N):
             a_n = ((age[n:n + 1, :] <= mids) & (mids < top[n:n + 1, :])
                    & (i != n))
-            alive_rows.append(a_n)
             for q in range(PP):
                 nbase[q] = nbase[q] + jnp.where(
                     a_n & (npop[n:n + 1, :] == q), 1.0, 0.0)
@@ -1527,9 +1568,12 @@ def _spr_kernel(ctr_ref,
                         & (mag[m:m + 1, :] <= mids)
                         & (mids < win_hi[m:m + 1, :]))
                 br_m = mbr[m:m + 1, :]
-                b_alive = jnp.zeros((K, TL), jnp.bool_)
-                for n in range(N):
-                    b_alive = b_alive | (alive_rows[n] & (br_m == n))
+                # branch-alive via two gathers instead of an N-row scan
+                brs = jnp.maximum(br_m, 0)
+                age_br = _gather_rows(age, brs, nid)
+                top_br = _gather_rows(top, brs, nid)
+                b_alive = ((age_br <= mids) & (mids < top_br)
+                           & (br_m != i) & (br_m >= 0))
                 w = in_w & b_alive
                 for q in range(PP):
                     nbase[q] = nbase[q] + jnp.where(
@@ -1680,27 +1724,24 @@ def _spr_kernel(ctr_ref,
             i_pick = jnp.clip(i_pick, 0,
                               jnp.maximum(n_k.astype(jnp.int32) - 1, 0))
             anc_k = anc_row_of(pop_k)                        # [PP, TL]
-            csum = jnp.zeros((1, TL), jnp.int32)
-            tgt = jnp.zeros((1, TL), jnp.int32)
-            got = jnp.zeros((1, TL), jnp.bool_)
-            for n in range(N):
-                a_n = ((age[n:n + 1, :] <= t_event)
-                       & (t_event < top[n:n + 1, :]) & (i != n))
-                # trajectory pop of branch n at t_event
-                traj = npop[n:n + 1, :]
-                for m in range(M):
-                    on_n = (act[m:m + 1, :] & (mbr[m:m + 1, :] == n)
-                            & (mag[m:m + 1, :] <= t_event)
-                            & (t_event < win_hi[m:m + 1, :]))
-                    traj = jnp.where(on_n, src_pop_m[m:m + 1, :], traj)
-                inp = jnp.zeros((1, TL), jnp.bool_)
-                for q in range(PP):
-                    inp = inp | ((traj == q) & (anc_k[q:q + 1, :] > 0.5))
-                cov_n = a_n & inp
-                csum = csum + jnp.where(cov_n, 1, 0)
-                hitn = cov_n & (csum > i_pick) & ~got
-                tgt = jnp.where(hitn, n, tgt)
-                got = got | hitn
+            # trajectory pop of every branch at t_event ([N, TL]; O(M)
+            # program instead of the round-3 N x M per-row scan)
+            traj = npop
+            for m in range(M):
+                on_m = (act[m:m + 1, :] & (mbr[m:m + 1, :] == nid)
+                        & (mag[m:m + 1, :] <= t_event)
+                        & (t_event < win_hi[m:m + 1, :]))
+                traj = jnp.where(on_m, src_pop_m[m:m + 1, :], traj)
+            inp = jnp.zeros((N, TL), jnp.bool_)
+            for q in range(PP):
+                inp = inp | ((traj == q) & (anc_k[q:q + 1, :] > 0.5))
+            a_all = (age <= t_event) & (t_event < top) & (nid != i)
+            cov = a_all & inp                                # [N, TL]
+            csum = _prefix_rows_incl_int(cov.astype(jnp.int32))
+            hit = cov & (csum > i_pick)
+            # first covering branch in node-id order (csum nondecreasing)
+            tgt = jnp.min(jnp.where(hit, nid, N), axis=0, keepdims=True)
+            tgt = jnp.where(tgt == N, 0, tgt)
             coal_ok = is_coal & (n_k > 0.5)
 
             status = jnp.where(alive & exits, -1, status)

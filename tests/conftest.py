@@ -38,3 +38,21 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+# ---- smoke tier ----------------------------------------------------------
+# `pytest -m smoke` runs the fast (~1 min) unit slice: config grammar, RNG
+# conformance, tools, kernel unit tests and the likelihood cache.  The full
+# pyramid (sampler end-to-end, fused mesh, bucketed, golden) takes >10 min
+# and is meant for pre-commit / CI, not per-change iteration.
+_SMOKE_MODULES = {
+    "test_control", "test_rng", "test_tools", "test_ops", "test_likcache",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
