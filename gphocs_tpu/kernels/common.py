@@ -114,10 +114,13 @@ def full_stats(gen: GenState, params: Params, ctx: Context):
         oldage=ctx.oldage)
 
 
-def gen_log_prior(gen: GenState, params: Params, ctx: Context) -> jnp.ndarray:
+def gen_log_prior_from_stats(stats, gen: GenState, params: Params,
+                             ctx: Context) -> jnp.ndarray:
+    """Per-locus genealogy log prior from precomputed sufficient stats
+    (lets callers that already paid for full_stats skip a second pass)."""
     from gphocs_tpu.ops.coalstats import genealogy_log_prior
 
-    lnp = genealogy_log_prior(full_stats(gen, params, ctx), params)
+    lnp = genealogy_log_prior(stats, params)
     if ctx.num_admixed > 0:
         # admixture assignment terms (reference gtreeLnLikelihood,
         # src/patch.c:2725-2735): log(c) when the admixed leaf sits in its
@@ -128,6 +131,11 @@ def gen_log_prior(gen: GenState, params: Params, ctx: Context) -> jnp.ndarray:
         lnp = lnp + jnp.sum(
             jnp.where(in_second, jnp.log(c), jnp.log1p(-c)), axis=1)
     return lnp
+
+
+def gen_log_prior(gen: GenState, params: Params, ctx: Context) -> jnp.ndarray:
+    return gen_log_prior_from_stats(full_stats(gen, params, ctx), gen,
+                                    params, ctx)
 
 
 def first_mig_above(gen: GenState, node: jnp.ndarray, age: jnp.ndarray):

@@ -435,8 +435,12 @@ def _sweep_prep(gen: GenState, params: Params, ctx: Context):
 def _pick_tile(N: int, CPWP: int, itemsize: int = 4,
                budget: int = 8 * 1024 * 1024) -> int:
     """Lane-tile size bounded by VMEM: two conditional buffers (working +
-    proposal scratch) must fit the budget."""
-    tl = 256
+    proposal scratch) must fit the budget.  Deeper tiles amortize the
+    sweep's sequential per-node steps over more loci per launch
+    (GPHOCS_TILE overrides the starting width)."""
+    import os
+
+    tl = int(os.environ.get("GPHOCS_TILE", "256"))
     while tl > 128 and 2 * N * CPWP * tl * itemsize > budget:
         tl //= 2
     return tl

@@ -256,7 +256,8 @@ def _mixing_bucketed(gens, params, seqs, grng, ctx, finetune, lnlds, lnps,
     jax.jit,
     static_argnames=("genetree_samples", "do_migrate", "do_mixing",
                      "num_pops", "num_cur_pops", "sample_age_mask",
-                     "var_rates", "var_alpha", "use_fused"))
+                     "var_rates", "var_alpha", "use_fused",
+                     "fused_interpret"))
 def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                            lrngs: Tuple, grng, lnlds: Tuple, lnps: Tuple,
                            conds: Tuple, ft: Finetunes, *, ctx: Context,
@@ -264,9 +265,16 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                            do_mixing: bool, num_pops: int,
                            num_cur_pops: int, sample_age_mask: tuple,
                            var_rates: bool = False, var_alpha: float = 1.0,
-                           use_fused: bool = False):
-    """Bucketed twin of step.mcmc_iteration (fast-RNG mode, no admixture)."""
+                           use_fused=False, fused_interpret: bool = False):
+    """Bucketed twin of step.mcmc_iteration (fast-RNG mode, no admixture).
+
+    use_fused: bool, or a per-bucket tuple of bools — buckets whose
+    pattern count fits the VMEM tile budget run the fused Pallas sweeps
+    while oversized buckets fall back to the XLA path (the per-bucket
+    gate computed in Sampler.__init__)."""
     K = len(gens)
+    fused_k = (use_fused if isinstance(use_fused, tuple)
+               else (use_fused,) * K)
     gens, lrngs = list(gens), list(lrngs)
     lnlds, lnps, conds = list(lnlds), list(lnps), list(conds)
     acc_ct = jnp.zeros((), jnp.int32)
@@ -277,11 +285,12 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
 
     for _ in range(genetree_samples):
         for k in range(K):
-            if use_fused:
+            if fused_k[k]:
                 gens[k], lrngs[k], lnlds[k], lnps[k], conds[k], a = \
                     node_age_sweep_pallas(gens[k], params, seqs[k],
                                           lrngs[k], ctx, ft.coal_time,
-                                          lnlds[k], lnps[k], conds[k])
+                                          lnlds[k], lnps[k], conds[k],
+                                          interpret=fused_interpret)
             else:
                 gens[k], lrngs[k], lnlds[k], lnps[k], conds[k], a = \
                     update_internal_node_ages(gens[k], params, seqs[k],
@@ -292,10 +301,10 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                 gens[k], lrngs[k], lnps[k], a = update_mig_ages(
                     gens[k], params, lrngs[k], ctx, ft.mig_time, lnps[k])
                 acc_mt = acc_mt + a
-            if use_fused:
+            if fused_k[k]:
                 gens[k], lrngs[k], lnlds[k], conds[k], a = spr_sweep_pallas(
                     gens[k], params, seqs[k], lrngs[k], ctx, lnlds[k],
-                    conds[k])
+                    conds[k], interpret=fused_interpret)
             else:
                 gens[k], lrngs[k], lnlds[k], conds[k], a = update_spr(
                     gens[k], params, seqs[k], lrngs[k], ctx, lnlds[k],
@@ -361,11 +370,12 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
     static_argnames=("n_iters", "genetree_samples", "do_migrate",
                      "do_mixing", "num_pops", "num_cur_pops",
                      "sample_age_mask", "var_rates", "var_alpha",
-                     "use_fused"))
+                     "use_fused", "fused_interpret"))
 def mcmc_chunk_buckets(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
                        ft, *, ctx, n_iters, genetree_samples, do_migrate,
                        do_mixing, num_pops, num_cur_pops, sample_age_mask,
-                       var_rates=False, var_alpha=1.0, use_fused=False):
+                       var_rates=False, var_alpha=1.0, use_fused=False,
+                       fused_interpret=False):
     def body(carry, _):
         gens, params, lrngs, grng, lnlds, lnps, conds = carry
         gens, params, lrngs, grng, lnlds, lnps, conds, st = \
@@ -375,7 +385,8 @@ def mcmc_chunk_buckets(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
                 do_migrate=do_migrate, do_mixing=do_mixing,
                 num_pops=num_pops, num_cur_pops=num_cur_pops,
                 sample_age_mask=sample_age_mask, var_rates=var_rates,
-                var_alpha=var_alpha, use_fused=use_fused)
+                var_alpha=var_alpha, use_fused=use_fused,
+                fused_interpret=fused_interpret)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,

@@ -200,17 +200,32 @@ class Sampler:
         # Beyond it (large samples x patterns) fall back to the XLA path
         # rather than fail Mosaic allocation — the documented sample-axis
         # capacity bound (SAMPLES_r04.json).
+        self.bucket_fused = (False,) * self.buckets
         if self.use_fused and seq_path is not None:
             N_nodes = 2 * cfg.num_samples - 1
-            P_pat = int(self.seq.leaf_base.shape[2])
-            CPWP = (4 * P_pat + 7) // 8 * 8
-            if 2 * N_nodes * CPWP * 128 * 4 > 8 * 1024 * 1024:
+
+            def _fits(P_pat):
+                CPWP = (4 * P_pat + 7) // 8 * 8
+                return 2 * N_nodes * CPWP * 128 * 4 <= 8 * 1024 * 1024
+
+            if self.buckets > 1:
+                # per-bucket gate: small-pattern buckets keep the fused
+                # kernels; only buckets whose conditionals overflow VMEM
+                # fall back to the XLA path.  With heavy-tailed pattern
+                # counts (e.g. one 2^k-phasing whale locus) this keeps
+                # ~all loci on the production kernels
+                self.bucket_fused = tuple(
+                    _fits(int(s_.leaf_base.shape[2])) for s_ in self.seqs)
+                if not any(self.bucket_fused):
+                    self.use_fused = False
+            elif not _fits(int(self.seq.leaf_base.shape[2])):
                 import warnings
 
                 warnings.warn(
                     f"fused kernels disabled: conditionals "
-                    f"({N_nodes} nodes x {P_pat} patterns) exceed the "
-                    f"VMEM tile budget; using the XLA path")
+                    f"({N_nodes} nodes x {self.seq.leaf_base.shape[2]} "
+                    f"patterns) exceed the VMEM tile budget; using the "
+                    f"XLA path (consider --buckets for ragged data)")
                 self.use_fused = False
         self.pad_loci = 0
         if mesh is not None:
@@ -579,7 +594,9 @@ class Sampler:
                 sample_age_mask=sample_age_mask,
                 var_rates=cfg.mcmc.mut_rate_mode == 1,
                 var_alpha=cfg.mcmc.var_rates_alpha,
-                use_fused=self.use_fused)
+                use_fused=(self.bucket_fused if self.use_fused
+                           else (False,) * self.buckets),
+                fused_interpret=self.fused_interpret)
             self.lnld = jnp.concatenate(self.lnlds)
             self.lnp = jnp.concatenate(self.lnps)
             self.rate_var += float(np.sum(np.asarray(

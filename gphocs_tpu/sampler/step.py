@@ -20,7 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gphocs_tpu.kernels.common import Context, full_stats, gen_log_prior
+from gphocs_tpu.kernels.common import (Context, full_stats, gen_log_prior,
+                                       gen_log_prior_from_stats)
 from gphocs_tpu.kernels.mig_age import update_mig_ages
 from gphocs_tpu.kernels.mixing import update_mixing
 from gphocs_tpu.kernels.admix import update_admix_coeffs
@@ -105,7 +106,7 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
     acc_lr = jnp.zeros((), jnp.int32)
     dvar = jnp.zeros((), lnld.dtype)
 
-    for _ in range(genetree_samples):
+    for gs in range(genetree_samples):
         if coal_time_on:
             if use_fused:
                 # whole-sweep VMEM-resident kernel (fast-RNG mode only;
@@ -136,8 +137,11 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
                 gen, lrng, lnld, cond, a = update_spr(
                     gen, params, seq, lrng, ctx, lnld, cond)
             acc_spr = acc_spr + a
-            # SPR tracks only the data likelihood; refresh the prior
-            lnp = gen_log_prior(gen, params, ctx)
+            # SPR tracks only the data likelihood; the prior refresh for
+            # the final genetree sample is merged into the full_stats
+            # pass below (one sufficient-stats recomputation, not two)
+            if gs < genetree_samples - 1:
+                lnp = gen_log_prior(gen, params, ctx)
         if var_rates and locus_rate_on:
             from gphocs_tpu.rng_fast import FastRngState
             if isinstance(lrng, FastRngState):
@@ -160,6 +164,10 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             dvar = dvar + dv
 
     stats = full_stats(gen, params, ctx)
+    if spr_on:
+        # deferred post-SPR prior refresh (bitwise-identical to
+        # gen_log_prior: same stats function, same admixture terms)
+        lnp = gen_log_prior_from_stats(stats, gen, params, ctx)
     if theta_on:
         params, grng, lnp, acc_th = update_thetas(
             gen, params, grng, ctx, ft.theta, lnp, stats,
@@ -217,9 +225,12 @@ def mcmc_iteration(gen: GenState, params: Params, seq: SeqData, lrng, grng,
         acc_adm = jnp.zeros((), jnp.int32)
 
     if do_mixing and mixing_on:
-        stats2 = full_stats(gen, params, ctx)
+        # update_mixing reads only the event COUNTS (num_coals/num_migs);
+        # the theta/mig-rate/tau/sample-age/admix stages between `stats`
+        # and here never change counts (no topology or migration-event
+        # creation), so the earlier stats pass is reusable as-is
         gen, params, grng, lnld, lnp, cond, acc_mix = update_mixing(
-            gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats2,
+            gen, params, seq, grng, ctx, ft.mixing, lnld, lnp, cond, stats,
             num_cur_pops, loci_axis=loci_axis)
     else:
         acc_mix = jnp.zeros((), jnp.int32)

@@ -1,8 +1,20 @@
 """Sample-axis bench: per-iteration cost at S=8 / S=32 / S=64 (run on TPU).
 
-Writes SAMPLES_r04.json.  The reference supports NS=200
-(src/patch.h:17-22); this measures how the fused-sweep per-locus cost
-scales with the sample count at 1000 loci.
+Writes SAMPLES_r05.json.  The reference supports NS=200
+(src/patch.h:17-22); this measures how per-locus cost scales with the
+sample count at 1000 loci.
+
+Round-4 ledger: S=32/64 CRASHED the TPU worker (SAMPLES_r04.json).
+Round-5 root cause: not a kernel fault but HBM exhaustion from global
+max-pattern padding — the phased-pattern distribution is extremely
+heavy-tailed (S=32 simulated data: median 1 pattern/locus, ONE locus at
+1025 = a 2^10 phasing expansion), so dense padding multiplied the
+conditional tensors 355x and the compiled chunk's temporaries hit
+~13 GB at L=1000 (XLA memory analysis: 6.5 GB temp at L=500).  Fix:
+pattern-axis bucketing (sampler/bucketed.py) — the designed answer for
+ragged loci — with the round-5 per-bucket fused gate (small-pattern
+buckets keep the fused Pallas sweeps; only VMEM-oversized buckets fall
+back to XLA).  S>=32 rows therefore run with --buckets.
 """
 import json
 import os
@@ -36,9 +48,10 @@ def main():
 
     dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     rows = []
-    for name, ctl_text in (("S8", SAMPLE_CTL),
-                           ("S32", S32_CTL.format(seq="x", trace="t.out")),
-                           ("S64", S64_CTL.format(seq="x", trace="t.out"))):
+    for name, ctl_text, buckets in (
+            ("S8", SAMPLE_CTL, 1),
+            ("S32", S32_CTL.format(seq="x", trace="t.out"), 8),
+            ("S64", S64_CTL.format(seq="x", trace="t.out"), 8)):
         cfg = parse_control_text(ctl_text)
         tree = build_poptree(cfg)
         S = tree.num_samples
@@ -48,17 +61,10 @@ def main():
                               seq_len=1000, seed=29)
         cfg.mcmc.random_seed = 11
         cfg.mcmc.start_mig = 0
-        # S >= 32: the whole-sweep SPR kernel's Mosaic program grows
-        # ~O(N^2) (segment sort network + per-node coverage loops) and
-        # its compile time blows past an hour at N=63 — measured, not
-        # worth it for an artifact run.  Record the XLA-path numbers for
-        # the large-S rows and the limitation itself.
-        fused_ok = S <= 16
-        if not fused_ok:
-            os.environ["GPHOCS_FUSED"] = "0"
         try:
             t0 = time.time()
-            s = Sampler(cfg, seq_path=path, dtype=dtype, rng_mode="fast")
+            s = Sampler(cfg, seq_path=path, dtype=dtype, rng_mode="fast",
+                        buckets=buckets)
             s.initialize()
             init_s = time.time() - t0
             t0 = time.time()
@@ -69,31 +75,40 @@ def main():
             s.step_chunk(ITERS, do_migrate=True)
             jax.block_until_ready(s.params.theta)
             dt = (time.time() - t0) / ITERS
+            if buckets > 1:
+                pats = [int(q.leaf_base.shape[2]) for q in s.seqs]
+                path_desc = ("bucketed x%d (fused buckets: %s; pattern "
+                             "caps: %s)" % (buckets,
+                                            list(s.bucket_fused), pats))
+            else:
+                pats = [int(s.seq.leaf_base.shape[2])]
+                path_desc = "fused" if s.use_fused else "xla"
             rows.append(dict(config=name, samples=S,
-                             patterns=int(s.seq.leaf_base.shape[2]),
-                             path="fused" if s.use_fused else "xla",
+                             patterns=max(pats),
+                             path=path_desc,
                              ms_per_iter=round(dt * 1e3, 3),
                              init_s=round(init_s, 1),
                              compile_s=round(compile_s, 1)))
         except Exception as exc:  # record the failure mode (VMEM etc.)
             rows.append(dict(config=name, samples=S,
                              error=str(exc)[:400]))
-        finally:
-            os.environ.pop("GPHOCS_FUSED", None)
         print(rows[-1], flush=True)
 
     r8 = rows[0]
     out = dict(device=str(jax.devices()[0]), num_loci=NUM_LOCI, iters=ITERS,
-               fused_limit=("fused whole-sweep kernels: VMEM tile budget "
-                            "caps N*CPWP<=8192 (driver auto-fallback) and "
-                            "the SPR kernel's Mosaic compile grows ~O(N^2)"
-                            " — S>16 rows measured on the XLA path"),
+               notes=("S>=32 rows run pattern-bucketed (8 buckets) with "
+                      "the per-bucket fused gate: the r04 worker crashes "
+                      "were HBM exhaustion from dense max-pattern padding "
+                      "(heavy-tailed phasing expansion), not kernel "
+                      "faults.  The fused SPR kernel's Mosaic program is "
+                      "O(log^2 K) per node step since round 5 (bitonic "
+                      "2D sort; was an O(K^2) unrolled network)."),
                rows=rows,
                cost_ratio_vs_S8={r["config"]: round(
                    r["ms_per_iter"] / r8["ms_per_iter"], 2)
                    for r in rows if "ms_per_iter" in r})
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SAMPLES_r04.json"), "w") as f:
+    with open(os.path.join(root, "SAMPLES_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -178,3 +178,34 @@ def test_bucketed_debug_check_gate(ragged_file):
                     for k, ln in enumerate(s.lnlds))
     errs = check_likelihoods(s)
     assert errs and "bucket 1" in errs[0]
+
+
+def test_bucketed_fused_per_bucket_gate(ragged_file):
+    """Per-bucket fused gating: small-pattern buckets run the fused
+    Pallas sweeps (interpret mode here) while any VMEM-oversized bucket
+    falls back to the XLA path; the chain keeps its invariants."""
+    import os
+
+    from gphocs_tpu.debugcheck import check_gen_state
+
+    os.environ["GPHOCS_FUSED_INTERPRET"] = "1"
+    try:
+        cfg = parse_control_text(SAMPLE_CTL)
+        cfg.mcmc.random_seed = 19
+        cfg.mcmc.start_mig = 0
+        s = Sampler(cfg, seq_path=ragged_file, dtype=jnp.float32,
+                    rng_mode="fast", buckets=3)
+        assert s.use_fused
+        assert len(s.bucket_fused) == 3 and any(s.bucket_fused)
+        s.initialize()
+        s.step_chunk(2, do_migrate=True)
+    finally:
+        os.environ.pop("GPHOCS_FUSED_INTERPRET", None)
+    for k, g in enumerate(s.gens):
+        errs = check_gen_state(g, s.params, s.tree, atol=1e-5)
+        assert not errs, (k, errs[:3])
+    # carried vs fresh likelihoods per bucket
+    for k in range(3):
+        tab_lnld = data_log_likelihood_cached(s.gens[k], s.seqs[k])
+        np.testing.assert_allclose(np.asarray(tab_lnld),
+                                   np.asarray(s.lnlds[k]), atol=2e-3)
