@@ -99,10 +99,9 @@ def main(argv=None):
         fast = platform == "tpu"
     else:
         fast = bool(args.fast_rng) and not args.legacy_rng
-    if args.buckets > 1 and (args.mesh or args.distributed
-                             or args.chains > 1 or not fast):
-        ap.error("--buckets requires fast RNG, a single device and one "
-                 "chain (see the support matrix in README.md)")
+    if args.buckets > 1 and (args.chains > 1 or not fast):
+        ap.error("--buckets requires fast RNG and one chain "
+                 "(see the support matrix in README.md)")
     cfg = parse_control_file(args.control_file, args.secondary_control)
     print(f"gphocs_tpu on {platform} "
           f"({len(jax.devices())} device(s)), "

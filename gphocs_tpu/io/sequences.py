@@ -187,10 +187,10 @@ def build_seq_data_buckets(raw: RawAlignments, is_diploid: List[bool],
     num_buckets = max(1, min(num_buckets, L))
     counts = np.array([max(1, len(p[0])) for p in per_locus])
     perm = np.argsort(counts, kind="stable")
-    bounds = np.linspace(0, L, num_buckets + 1).astype(int)
+    bounds = _bucket_bounds(counts[perm], num_buckets)
     sizes, seqs = [], []
     S = len(is_diploid)
-    for b in range(num_buckets):
+    for b in range(len(bounds) - 1):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
         if hi <= lo:
             continue
@@ -199,3 +199,48 @@ def build_seq_data_buckets(raw: RawAlignments, is_diploid: List[bool],
         sizes.append(hi - lo)
         seqs.append(_assemble(sub, S, P, dtype))
     return perm, sizes, seqs
+
+
+def _bucket_bounds(sorted_counts: np.ndarray, num_buckets: int) -> list:
+    """Bucket boundaries minimizing total padded cells sum_k L_k * Pmax_k.
+
+    Phased-pattern counts are extremely heavy-tailed (a single 2^k
+    phasing-expansion whale can be ~1000x the median), so equal-SIZE
+    buckets waste orders of magnitude of memory/compute padding the top
+    bucket; the exact DP below isolates whales in their own (tiny)
+    buckets.  Useful boundaries only occur where the sorted count value
+    changes, so the DP runs over the <=O(distinct values) candidate
+    positions."""
+    L = len(sorted_counts)
+    # candidate boundary positions: 0, L, and every value change
+    cand = [0] + [i for i in range(1, L)
+                  if sorted_counts[i] != sorted_counts[i - 1]] + [L]
+    cand = sorted(set(cand))
+    m = len(cand)
+
+    def seg_cost(a, b):  # cand[a]..cand[b] as one bucket
+        lo, hi = cand[a], cand[b]
+        return (hi - lo) * int(sorted_counts[hi - 1])
+
+    INF = float("inf")
+    K = min(num_buckets, m - 1)
+    dp = [[INF] * m for _ in range(K + 1)]
+    back = [[0] * m for _ in range(K + 1)]
+    dp[0][0] = 0.0
+    for k in range(1, K + 1):
+        for b in range(1, m):
+            for a in range(b):
+                if dp[k - 1][a] == INF:
+                    continue
+                c = dp[k - 1][a] + seg_cost(a, b)
+                if c < dp[k][b]:
+                    dp[k][b] = c
+                    back[k][b] = a
+    # best k <= K ending at L
+    best_k = min(range(1, K + 1), key=lambda k: dp[k][m - 1])
+    bounds = [cand[m - 1]]
+    b = m - 1
+    for k in range(best_k, 0, -1):
+        b = back[k][b]
+        bounds.append(cand[b])
+    return list(reversed(bounds))

@@ -37,7 +37,7 @@ def update_mig_ages(gen: GenState, params: Params, rng_state, ctx: Context,
 
     def body(carry, m):
         gen, rng_state, lnp, acc = carry
-        active = gen.mig_branch[:, m] >= 0
+        active = (gen.mig_branch[:, m] >= 0) & gen.valid
         band = jnp.where(active, gen.mig_band[:, m], 0)
         t = gen.mig_age[:, m]
         branch = jnp.where(active, gen.mig_branch[:, m], 0)

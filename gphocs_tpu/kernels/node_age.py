@@ -53,7 +53,9 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
     L = gen.num_loci
     S = gen.num_samples
     N = gen.num_nodes
-    loci_mask = jnp.ones((L,), bool)
+    # inert padding loci (mesh/bucket alignment; gen.valid False) neither
+    # propose nor count — the Pallas twins' `real` lane mask
+    loci_mask = gen.valid
     bstart, bend = band_windows(ctx, params.tau)
     tables = make_tables(gen)  # topology is static across this sweep
 
@@ -94,14 +96,15 @@ def update_internal_node_ages(gen: GenState, params: Params, seq: SeqData,
         lnp_prop = lnp + dlnp
         lnacc = dlnp + (lnld_prop - lnld)
 
-        accept, rng_state = mh_accept(rng_state, lnacc, ~tiny)
+        accept, rng_state = mh_accept(rng_state, lnacc, loci_mask & ~tiny)
         take = accept  # tiny moves keep the old age but count as accepted
         new_age = jnp.where(take, tnew, t)
         gen = gen._replace(age=gen.age.at[:, inode].set(new_age))
         cond = jnp.where(take[:, None, None, None], cond_prop, cond)
         lnld = jnp.where(take, lnld_prop, lnld)
         lnp = jnp.where(take, lnp_prop, lnp)
-        acc = acc + jnp.sum((accept | tiny).astype(jnp.int32), dtype=jnp.int32)
+        acc = acc + jnp.sum(((accept | tiny) & loci_mask).astype(jnp.int32),
+                            dtype=jnp.int32)
         return (gen, rng_state, lnld, lnp, cond, acc), None
 
     init = (gen, rng_state, lnld, lnp, cond, jnp.zeros((), jnp.int32))

@@ -295,21 +295,28 @@ def _simulate_reconnect(gen: GenState, params: Params, ctx: Context,
         onany = jnp.any(hit, axis=2)                             # [L, K]
         rate = jnp.where(onany, mig_rate + 2.0 * n * inv_theta, 0.0)
         hz = rate * seg_len
-        cum = jnp.cumsum(hz, axis=1)
+        # log-depth EXCLUSIVE prefix, additions only: computing the
+        # exclusive prefix as cum_k - hz_k suffers catastrophic
+        # cancellation when hz_k is huge (the [root age, OLDAGE] segment
+        # has hazard ~ rate * 1e3; its f32 quantum is O(1), so
+        # E - prev_cum went negative by O(1) and t_event landed BELOW
+        # the segment — the round-3 GOLDEN_FUSED f32 bias).  The fused
+        # Pallas kernel uses the IDENTICAL shift-add association so the
+        # two paths stay draw-for-draw bitwise equal.
+        K_ = hz.shape[1]
+        ecum = jnp.concatenate([jnp.zeros((L, 1), dt), hz[:, :-1]], axis=1)
+        s_ = 1
+        while s_ < K_:
+            ecum = ecum + jnp.concatenate(
+                [jnp.zeros((L, s_), dt), ecum[:, :-s_]], axis=1)
+            s_ *= 2
+        cum = ecum + hz
         u1, rng = R.rndu(st.rng, alive)
         E = -jnp.log(jnp.maximum(u1, 1e-300)).astype(dt)
         reached = cum >= E[:, None]
         k = jnp.argmax(reached, axis=1)
         exits = ~jnp.any(reached, axis=1)                        # past OLDAGE
         koh = (jnp.arange(cum.shape[1])[None, :] == k[:, None])  # [L, K]
-        # exclusive prefix looked up directly — computing cum_k - hz_k
-        # instead suffers catastrophic cancellation when hz_k is huge
-        # (the [root age, OLDAGE] segment has hazard ~ rate * 1e3; its f32
-        # quantum is O(1), so E - prev_cum went negative by O(1) and
-        # t_event landed BELOW the segment, committing coalescences under
-        # the start age / outside the segment's population — the round-3
-        # GOLDEN_FUSED f32 bias)
-        ecum = jnp.concatenate([jnp.zeros((L, 1), dt), cum[:, :-1]], axis=1)
         prev_cum = jnp.sum(jnp.where(koh, ecum, 0), axis=1)
         rate_k = jnp.sum(jnp.where(koh, rate, 0), axis=1)
         lo_k = jnp.sum(jnp.where(koh, lo, 0), axis=1)
@@ -542,7 +549,7 @@ def update_spr(gen: GenState, params: Params, seq: SeqData, rng_state,
         cond_prop, lnld_prop = refresh_and_lnld(
             cond, gen_prop, seq, dirty0)
         lnacc = lnld_prop - lnld
-        accept, rng_state = mh_accept(rng_state, lnacc, ok)
+        accept, rng_state = mh_accept(rng_state, lnacc, ok & gen.valid)
         gen = jax.tree_util.tree_map(
             lambda n_, o: jnp.where(
                 accept.reshape((L,) + (1,) * (o.ndim - 1)), n_, o)

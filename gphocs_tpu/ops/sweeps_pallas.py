@@ -1640,20 +1640,19 @@ def _spr_kernel(ctr_ref,
                 onany = onany | hit
             rate = jnp.where(onany, mig_seg + 2.0 * n_seg * ith_seg, 0.0)
             hz = rate * seg_len
-            # serial prefix sum over the K segment rows; the EXCLUSIVE
-            # prefix is kept directly — deriving it as cum_k - hz_k
-            # cancels catastrophically when hz_k is huge (the
-            # [root age, OLDAGE] segment; see kernels/spr.py twin) and
-            # was the round-3 GOLDEN_FUSED f32 bias
-            crows = []
-            erows = []
-            acc = jnp.zeros((1, TL), dt)
-            for k in range(K):
-                erows.append(acc)
-                acc = acc + hz[k:k + 1, :]
-                crows.append(acc)
-            cum = jnp.concatenate(crows, axis=0)
-            ecum = jnp.concatenate(erows, axis=0)
+            # log-depth EXCLUSIVE prefix over the K segment rows,
+            # additions only: deriving the exclusive prefix as
+            # cum_k - hz_k cancels catastrophically when hz_k is huge
+            # (the [root age, OLDAGE] segment; the round-3 GOLDEN_FUSED
+            # f32 bias).  The XLA twin (kernels/spr.py) uses the
+            # IDENTICAL shift-add association so the paths stay
+            # draw-for-draw bitwise equal.
+            ecum = _shift_rows_down(hz, 1, jnp.zeros((), dt))
+            s_ = 1
+            while s_ < K:
+                ecum = ecum + _shift_rows_down(ecum, s_, jnp.zeros((), dt))
+                s_ *= 2
+            cum = ecum + hz
 
             u1 = _uniform(key, ctr0, doff + 1, dt)
             E = -jnp.log(jnp.maximum(u1, jnp.asarray(1e-30, dt)))

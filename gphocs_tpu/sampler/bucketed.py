@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from gphocs_tpu.kernels.common import (Context, band_windows, full_stats,
-                                       gen_log_prior, scalar_mh_accept)
+                                       gen_log_prior, maybe_pmax,
+                                       maybe_psum, scalar_mh_accept)
 from gphocs_tpu.kernels.locus_rate import update_locus_rates_paired
 from gphocs_tpu.kernels.mig_age import update_mig_ages
 from gphocs_tpu.kernels.node_age import update_internal_node_ages
@@ -66,7 +67,8 @@ def _split(x, sizes):
 
 
 def _taus_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
-                   lnlds, lnps, conds, num_pops, num_cur_pops):
+                   lnlds, lnps, conds, num_pops, num_cur_pops,
+                   loci_axis=None):
     """Joint-accept UpdateTau over buckets (reference src/GPhoCS.c:3224)."""
     K = len(gens)
     accepted = jnp.zeros((num_pops,), jnp.int32)
@@ -101,6 +103,7 @@ def _taus_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
         props = []
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop])
+        dsum = jnp.zeros((), dt)
         ntj0 = jnp.zeros((), dt)
         ntj1 = jnp.zeros((), dt)
         conflict = jnp.asarray(False)
@@ -112,12 +115,20 @@ def _taus_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
                 gens[k], params, seqs[k], ctx, pop, False,
                 taub0, taub1, tauold, taunew, lnlds[k], lnps[k], tables[k])
             props.append((gen_p, cond_p, lnld_p, lnp_p))
-            lnacc = lnacc + jnp.sum(lnld_p - lnlds[k]) \
+            dsum = dsum + jnp.sum(lnld_p - lnlds[k]) \
                 + jnp.sum(lnp_p - lnps[k])
             ntj0 = ntj0 + n0
             ntj1 = ntj1 + n1
             conflict = conflict | cf
-        lnacc = lnacc + ntj0 * lnf0 + ntj1 * lnf1
+        # cross-bucket accumulators are still shard-local under the loci
+        # mesh: all-reduce them before the single global decision (the
+        # reference's atomic ntj accumulation + shared mig_conflict flag)
+        dsum = maybe_psum(dsum, loci_axis)
+        ntj0 = maybe_psum(ntj0, loci_axis)
+        ntj1 = maybe_psum(ntj1, loci_axis)
+        conflict = maybe_pmax(jnp.asarray(conflict, jnp.int32),
+                              loci_axis) > 0
+        lnacc = lnacc + dsum + ntj0 * lnf0 + ntj1 * lnf1
         accept, grng = scalar_mh_accept(grng, lnacc, conflict)
 
         sel = lambda n, o: jnp.where(accept, n, o)  # noqa: E731
@@ -135,7 +146,8 @@ def _taus_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
 
 
 def _sample_ages_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
-                          lnlds, lnps, conds, num_cur_pops, update_mask):
+                          lnlds, lnps, conds, num_cur_pops, update_mask,
+                          loci_axis=None):
     """Joint-accept UpdateSampleAge over buckets (src/GPhoCS.c:4006)."""
     K = len(gens)
     P = params.tau.shape[0]
@@ -157,6 +169,7 @@ def _sample_ages_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
         props = []
         lnacc = (jnp.log(taunew / tauold) * (ctx.tau_alpha[pop] - 1.0)
                  - (taunew - tauold) * ctx.tau_beta[pop])
+        dsum = jnp.zeros((), dt)
         ntj0 = jnp.zeros((), dt)
         ntj1 = jnp.zeros((), dt)
         conflict = jnp.asarray(False)
@@ -168,12 +181,17 @@ def _sample_ages_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
                 gens[k], params, seqs[k], ctx, pop, True,
                 taub0, taub1, tauold, taunew, lnlds[k], lnps[k], tables[k])
             props.append((gen_p, cond_p, lnld_p, lnp_p))
-            lnacc = lnacc + jnp.sum(lnld_p - lnlds[k]) \
+            dsum = dsum + jnp.sum(lnld_p - lnlds[k]) \
                 + jnp.sum(lnp_p - lnps[k])
             ntj0 = ntj0 + n0
             ntj1 = ntj1 + n1
             conflict = conflict | cf
-        lnacc = lnacc + ntj0 * lnf0 + ntj1 * lnf1
+        dsum = maybe_psum(dsum, loci_axis)
+        ntj0 = maybe_psum(ntj0, loci_axis)
+        ntj1 = maybe_psum(ntj1, loci_axis)
+        conflict = maybe_pmax(jnp.asarray(conflict, jnp.int32),
+                              loci_axis) > 0
+        lnacc = lnacc + dsum + ntj0 * lnf0 + ntj1 * lnf1
         accept, grng = scalar_mh_accept(grng, lnacc, conflict)
         sel = lambda n, o: jnp.where(accept, n, o)  # noqa: E731
         params = jax.tree_util.tree_map(sel, params_p, params)
@@ -190,7 +208,7 @@ def _sample_ages_bucketed(gens, params, seqs, grng, ctx, finetunes_taus,
 
 
 def _mixing_bucketed(gens, params, seqs, grng, ctx, finetune, lnlds, lnps,
-                     conds, stats_list, num_cur_pops):
+                     conds, stats_list, num_cur_pops, loci_axis=None):
     """Joint-accept mixing over buckets (reference src/GPhoCS.c:4688)."""
     from gphocs_tpu.ops.likelihood_cache import full_rebuild_and_lnld
 
@@ -199,8 +217,10 @@ def _mixing_bucketed(gens, params, seqs, grng, ctx, finetune, lnlds, lnps,
     z, grng = R.general_draw_2normal8(grng)
     lnc = (finetune * z).astype(dt)
     c = jnp.exp(lnc)
-    ncoal_tot = sum(jnp.sum(s.num_coals) for s in stats_list).astype(dt)
-    nmig_tot = sum(jnp.sum(s.num_migs) for s in stats_list).astype(dt)
+    ncoal_tot = maybe_psum(
+        sum(jnp.sum(s.num_coals) for s in stats_list).astype(dt), loci_axis)
+    nmig_tot = maybe_psum(
+        sum(jnp.sum(s.num_migs) for s in stats_list).astype(dt), loci_axis)
     num_events = ncoal_tot + nmig_tot
     P = ctx.num_pops
     B = ctx.num_bands
@@ -227,13 +247,15 @@ def _mixing_bucketed(gens, params, seqs, grng, ctx, finetune, lnlds, lnps,
     params_prop = params._replace(theta=th_new, tau=tau_new,
                                   sample_age=sa_new, mig_rate=m_new)
     props = []
+    ddata = jnp.zeros((), dt)
     for k in range(K):
         gen_prop = gens[k]._replace(age=gens[k].age * c,
                                     mig_age=gens[k].mig_age * c)
         cond_p, lnld_p = full_rebuild_and_lnld(gen_prop, seqs[k],
                                                make_tables(gens[k]))
-        lnacc = lnacc + jnp.sum(lnld_p - lnlds[k])
+        ddata = ddata + jnp.sum(lnld_p - lnlds[k])
         props.append((gen_prop, cond_p, lnld_p))
+    lnacc = lnacc + maybe_psum(ddata, loci_axis)
     accept, grng = scalar_mh_accept(grng, lnacc)
 
     sel = lambda n, o: jnp.where(accept, n, o)  # noqa: E731
@@ -257,7 +279,7 @@ def _mixing_bucketed(gens, params, seqs, grng, ctx, finetune, lnlds, lnps,
     static_argnames=("genetree_samples", "do_migrate", "do_mixing",
                      "num_pops", "num_cur_pops", "sample_age_mask",
                      "var_rates", "var_alpha", "use_fused",
-                     "fused_interpret"))
+                     "fused_interpret", "loci_axis"))
 def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                            lrngs: Tuple, grng, lnlds: Tuple, lnps: Tuple,
                            conds: Tuple, ft: Finetunes, *, ctx: Context,
@@ -265,7 +287,8 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                            do_mixing: bool, num_pops: int,
                            num_cur_pops: int, sample_age_mask: tuple,
                            var_rates: bool = False, var_alpha: float = 1.0,
-                           use_fused=False, fused_interpret: bool = False):
+                           use_fused=False, fused_interpret: bool = False,
+                           loci_axis=None):
     """Bucketed twin of step.mcmc_iteration (fast-RNG mode, no admixture).
 
     use_fused: bool, or a per-bucket tuple of bools — buckets whose
@@ -304,7 +327,8 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
             if fused_k[k]:
                 gens[k], lrngs[k], lnlds[k], conds[k], a = spr_sweep_pallas(
                     gens[k], params, seqs[k], lrngs[k], ctx, lnlds[k],
-                    conds[k], interpret=fused_interpret)
+                    conds[k], interpret=fused_interpret,
+                    loci_axis=loci_axis)
             else:
                 gens[k], lrngs[k], lnlds[k], conds[k], a = update_spr(
                     gens[k], params, seqs[k], lrngs[k], ctx, lnlds[k],
@@ -315,7 +339,8 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
                 gens[k], lrngs[k], lnlds[k], conds[k], a, dv = \
                     update_locus_rates_paired(gens[k], seqs[k], lrngs[k],
                                               ft.locus_rate, lnlds[k],
-                                              var_alpha, conds[k])
+                                              var_alpha, conds[k],
+                                              loci_axis=loci_axis)
                 acc_lr = acc_lr + a
                 dvar = dvar + dv
 
@@ -324,22 +349,26 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
     sizes = [g.num_loci for g in gens]
     lnp_cat = jnp.concatenate(lnps, axis=0)
     params, grng, lnp_cat, acc_th = update_thetas(
-        gens[0], params, grng, ctx, ft.theta, lnp_cat, stats_cat)
+        gens[0], params, grng, ctx, ft.theta, lnp_cat, stats_cat,
+        loci_axis=loci_axis)
     if do_migrate and ctx.num_bands > 0:
         params, grng, lnp_cat, acc_mr = update_mig_rates(
-            gens[0], params, grng, ctx, ft.mig_rate, lnp_cat, stats_cat)
+            gens[0], params, grng, ctx, ft.mig_rate, lnp_cat, stats_cat,
+            loci_axis=loci_axis)
     else:
         acc_mr = jnp.zeros((), jnp.int32)
     lnps = list(_split(lnp_cat, sizes))
 
     (gens, params, grng, lnlds, lnps, conds, acc_taus, conflicts) = \
         _taus_bucketed(gens, params, seqs, grng, ctx, ft.taus, lnlds,
-                       lnps, conds, num_pops, num_cur_pops)
+                       lnps, conds, num_pops, num_cur_pops,
+                       loci_axis=loci_axis)
     if any(sample_age_mask):
         (gens, params, grng, lnlds, lnps, conds, acc_sa, conf_sa) = \
             _sample_ages_bucketed(gens, params, seqs, grng, ctx, ft.taus,
                                   lnlds, lnps, conds, num_cur_pops,
-                                  list(sample_age_mask))
+                                  list(sample_age_mask),
+                                  loci_axis=loci_axis)
         acc_taus = acc_taus + acc_sa
         conflicts = conflicts + conf_sa
 
@@ -347,20 +376,24 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
         stats2 = [full_stats(g, params, ctx) for g in gens]
         (gens, params, grng, lnlds, lnps, conds, acc_mix) = \
             _mixing_bucketed(gens, params, seqs, grng, ctx, ft.mixing,
-                             lnlds, lnps, conds, stats2, num_cur_pops)
+                             lnlds, lnps, conds, stats2, num_cur_pops,
+                             loci_axis=loci_axis)
     else:
         acc_mix = jnp.zeros((), jnp.int32)
 
     nmig_total = sum(jnp.sum((g.mig_branch >= 0).astype(jnp.int32))
                      for g in gens)
     out = StepStats(
-        acc_coal_time=acc_ct, acc_mig_time=acc_mt, acc_spr=acc_spr,
+        acc_coal_time=maybe_psum(acc_ct, loci_axis),
+        acc_mig_time=maybe_psum(acc_mt, loci_axis),
+        acc_spr=maybe_psum(acc_spr, loci_axis),
         acc_theta=acc_th, acc_mig_rate=acc_mr, acc_taus=acc_taus,
         acc_mixing=acc_mix, acc_admix=jnp.zeros((), jnp.int32),
         acc_locus_rate=acc_lr, rate_var_delta=dvar,
-        tau_conflicts=conflicts, num_migs_total=nmig_total,
-        lnld_sum=sum(jnp.sum(x) for x in lnlds),
-        lnp_sum=sum(jnp.sum(x) for x in lnps))
+        tau_conflicts=conflicts,
+        num_migs_total=maybe_psum(nmig_total, loci_axis),
+        lnld_sum=maybe_psum(sum(jnp.sum(x) for x in lnlds), loci_axis),
+        lnp_sum=maybe_psum(sum(jnp.sum(x) for x in lnps), loci_axis))
     return (tuple(gens), params, tuple(lrngs), grng, tuple(lnlds),
             tuple(lnps), tuple(conds), out)
 
@@ -370,12 +403,12 @@ def mcmc_iteration_buckets(gens: Tuple, params: Params, seqs: Tuple,
     static_argnames=("n_iters", "genetree_samples", "do_migrate",
                      "do_mixing", "num_pops", "num_cur_pops",
                      "sample_age_mask", "var_rates", "var_alpha",
-                     "use_fused", "fused_interpret"))
+                     "use_fused", "fused_interpret", "loci_axis"))
 def mcmc_chunk_buckets(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
                        ft, *, ctx, n_iters, genetree_samples, do_migrate,
                        do_mixing, num_pops, num_cur_pops, sample_age_mask,
                        var_rates=False, var_alpha=1.0, use_fused=False,
-                       fused_interpret=False):
+                       fused_interpret=False, loci_axis=None):
     def body(carry, _):
         gens, params, lrngs, grng, lnlds, lnps, conds = carry
         gens, params, lrngs, grng, lnlds, lnps, conds, st = \
@@ -386,7 +419,7 @@ def mcmc_chunk_buckets(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
                 num_pops=num_pops, num_cur_pops=num_cur_pops,
                 sample_age_mask=sample_age_mask, var_rates=var_rates,
                 var_alpha=var_alpha, use_fused=use_fused,
-                fused_interpret=fused_interpret)
+                fused_interpret=fused_interpret, loci_axis=loci_axis)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,

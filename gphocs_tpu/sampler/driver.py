@@ -128,8 +128,8 @@ class Sampler:
         # pads each bucket only to its own max pattern count
         self.buckets = max(1, buckets)
         if self.buckets > 1:
-            assert rng_mode == "fast" and mesh is None and chains == 1, \
-                "bucketed mode requires fast RNG, single device, one chain"
+            assert rng_mode == "fast" and chains == 1, \
+                "bucketed mode requires fast RNG and one chain"
             assert not cfg.admixed, "bucketed mode: no admixture support"
         # whole-sweep fused Pallas kernels (ops/sweeps_pallas.py): the
         # production TPU path.  Fast-RNG mode only (the kernels reproduce
@@ -172,6 +172,9 @@ class Sampler:
                     raw, cfg.is_diploid(), self.buckets, dtype=np_dtype)
                 self.bucket_perm = perm
                 self.bucket_sizes = sizes
+                # the cost-minimizing partition may use fewer buckets
+                # than requested (e.g. few distinct pattern counts)
+                self.buckets = len(sizes)
                 self.seqs = tuple(SeqData(*[jnp.asarray(x) for x in s_])
                                   for s_ in seqs)
                 # a dense (unbucketed) copy only for shape bookkeeping
@@ -228,7 +231,7 @@ class Sampler:
                     f"XLA path (consider --buckets for ragged data)")
                 self.use_fused = False
         self.pad_loci = 0
-        if mesh is not None:
+        if mesh is not None and self.buckets == 1:
             n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             rem = self.num_loci % n_dev
             if rem:
@@ -255,6 +258,7 @@ class Sampler:
                 self.num_loci += pad
         self.seq = SeqData(*[jnp.asarray(x) for x in self.seq])
         self.host_rng = HostRng(self.num_loci + 1, seed, legacy=legacy_rng)
+        self._legacy_host_rng = legacy_rng
         self.trace_rows: List[str] = []
 
     # -- initialization (reference initializeMCMC, src/GPhoCS.c:1122) --
@@ -310,7 +314,7 @@ class Sampler:
         if self.pad_loci:
             self.gen = self.gen._replace(valid=self.gen.valid.at[
                 self.num_loci - self.pad_loci:].set(False))
-        if self.mesh is not None:
+        if self.mesh is not None and self.buckets == 1:
             from gphocs_tpu.parallel.mesh import (
                 loci_sharding, replicated, shard_sampler_state)
 
@@ -332,28 +336,78 @@ class Sampler:
             keys = self.lrng.key[perm]
             gens, lrngs, lnlds, lnps, conds = [], [], [], [], []
             off = 0
+            n_dev = 1
+            if self.mesh is not None:
+                n_dev = int(np.prod([self.mesh.shape[a]
+                                     for a in self.mesh.axis_names]))
             from gphocs_tpu.rng_fast import FastRngState
+            seqs_p = list(self.seqs)
             for k, n in enumerate(self.bucket_sizes):
                 gk = jax.tree_util.tree_map(
                     lambda a: a[off:off + n]
                     if (hasattr(a, "ndim") and a.ndim >= 1
                         and a.shape[0] == self.num_loci) else a, gperm)
-                lrngs.append(FastRngState(key=keys[off:off + n],
+                keys_k = keys[off:off + n]
+                padk = (-n) % n_dev
+                if padk:
+                    # buckets x mesh: pad each bucket to a mesh multiple
+                    # with inert loci (valid=False, zero pattern counts
+                    # -> zero likelihood, masked out of all statistics),
+                    # exactly the dense path's pad_loci mechanism
+                    rep_rows = lambda a: (jnp.concatenate(  # noqa: E731
+                        [a, jnp.repeat(a[:1], padk, axis=0)], axis=0)
+                        if hasattr(a, "ndim") and a.ndim >= 1
+                        and a.shape[0] == n else a)
+                    gk = jax.tree_util.tree_map(rep_rows, gk)
+                    gk = gk._replace(valid=gk.valid.at[n:].set(False))
+                    keys_k = jnp.concatenate(
+                        [keys_k, keys_k[:1] + jnp.arange(
+                            1, padk + 1, dtype=keys_k.dtype) * 0x9E3779B9])
+                    sq = seqs_p[k]
+                    seqs_p[k] = SeqData(
+                        leaf_base=rep_rows(sq.leaf_base),
+                        group_id=rep_rows(sq.group_id),
+                        group_count=rep_rows(sq.group_count).at[n:].set(0),
+                        group_nphases=rep_rows(sq.group_nphases
+                                               ).at[n:].set(1),
+                        pattern_valid=rep_rows(sq.pattern_valid
+                                               ).at[n:].set(False))
+                lrngs.append(FastRngState(key=keys_k,
                                           ctr=jnp.zeros((), jnp.uint32)))
                 ck, ldk, lpk = _init_device_state(
-                    gk, self.params, self.seqs[k], self.ctx)
+                    gk, self.params, seqs_p[k], self.ctx)
                 gens.append(gk)
                 conds.append(ck)
                 lnlds.append(ldk)
                 lnps.append(lpk)
                 off += n
+            self.seqs = tuple(seqs_p)
             self.gens = tuple(gens)
             self.lrngs = tuple(lrngs)
             self.conds = tuple(conds)
             self.lnlds = tuple(lnlds)
             self.lnps = tuple(lnps)
-            self.lnld = jnp.concatenate(lnlds)
-            self.lnp = jnp.concatenate(lnps)
+            if self.mesh is not None:
+                from gphocs_tpu.parallel.mesh import (loci_sharding,
+                                                      replicated)
+
+                sh = loci_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                    lambda x: jax.device_put(
+                        x, sh if jnp.ndim(x) >= 1 else rep), t)
+                self.gens = put(self.gens)
+                self.seqs = put(self.seqs)
+                self.lrngs = put(self.lrngs)
+                self.conds = put(self.conds)
+                self.lnlds = put(self.lnlds)
+                self.lnps = put(self.lnps)
+                self.params = jax.device_put(self.params, rep)
+                self.grng = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), self.grng)
+                self.ctx = jax.device_put(self.ctx, rep)
+            self.lnld = jnp.concatenate(self.lnlds)
+            self.lnp = jnp.concatenate(self.lnps)
             self.cond = None
         else:
             self.cond, self.lnld, self.lnp = _init_device_state(
@@ -392,12 +446,18 @@ class Sampler:
         for c in range(self.chains):
             self.host_rng = HostRng(self.num_loci + 1,
                                     base_seed + 7919 * c,
-                                    legacy=False)
+                                    legacy=self._legacy_host_rng)
+            # fast-mode device streams (lrng/grng) and the genealogy
+            # simulation seed from self.seed — give every chain its own,
+            # or the vmapped chains share identical proposal noise
+            # (correlated chains defeat the R-hat diagnostics)
+            self.seed = base_seed + 7919 * c
             self.chains, saved = 1, self.chains
             try:
                 self.initialize()
             finally:
                 self.chains = saved
+                self.seed = base_seed
             states.append((self.gen, self.params, self.lrng, self.grng,
                            self.lnld, self.lnp, self.cond))
         stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
@@ -562,6 +622,77 @@ class Sampler:
         self._sharded_chunk_cache[key] = fn
         return fn
 
+    def _sharded_bucketed_chunk(self, n_iters: int, do_migrate: bool,
+                                sample_age_mask):
+        """shard_map-wrapped bucketed chunk: buckets x mesh compose.
+
+        Every bucket's per-locus state shards over the SAME 'loci' axis
+        (each bucket padded to a mesh multiple at init); cross-bucket
+        global decisions psum over the axis inside mcmc_chunk_buckets.
+        The reference runs its one parallelism mode on exactly-ragged
+        per-locus profiles unconditionally
+        (src/AlignmentProcessor.h:25-31 + the omp loops) — this is the
+        composition of its raggedness with its parallelism."""
+        cfg = self.cfg
+        key = ("buckets", n_iters, do_migrate, sample_age_mask)
+        if key in self._sharded_chunk_cache:
+            return self._sharded_chunk_cache[key]
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer JAX
+            from jax import shard_map
+
+        from gphocs_tpu.sampler.bucketed import mcmc_chunk_buckets
+        from gphocs_tpu.sampler.step import ChunkTrace, StepStats
+
+        lspec, rspec = P("loci"), P()
+
+        def lsp(tree):
+            return jax.tree_util.tree_map(
+                lambda x: lspec if jnp.ndim(x) >= 1 else rspec, tree)
+
+        def rsp(tree):
+            return jax.tree_util.tree_map(lambda x: rspec, tree)
+
+        flags = dict(
+            n_iters=n_iters,
+            genetree_samples=cfg.mcmc.genetree_samples,
+            do_migrate=do_migrate,
+            do_mixing=cfg.mcmc.do_mixing
+            and self.ft_search["mixing"].value > 0,
+            num_pops=self.tree.num_pops,
+            num_cur_pops=self.tree.num_cur_pops,
+            sample_age_mask=sample_age_mask,
+            var_rates=cfg.mcmc.mut_rate_mode == 1,
+            var_alpha=cfg.mcmc.var_rates_alpha,
+            use_fused=(self.bucket_fused if self.use_fused
+                       else (False,) * self.buckets),
+            fused_interpret=self.fused_interpret,
+            loci_axis="loci",
+        )
+
+        def local(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
+                  ft, ctx):
+            return mcmc_chunk_buckets.__wrapped__(
+                gens, params, seqs, lrngs, grng, lnlds, lnps, conds, ft,
+                ctx=ctx, **flags)
+
+        in_specs = (lsp(self.gens), rsp(self.params), lsp(self.seqs),
+                    lsp(self.lrngs), rsp(self.grng), lsp(self.lnlds),
+                    lsp(self.lnps), lsp(self.conds), rsp(self.ft),
+                    rsp(self.ctx))
+        out_specs = (lsp(self.gens), rsp(self.params), lsp(self.lrngs),
+                     rsp(self.grng), lsp(self.lnlds), lsp(self.lnps),
+                     lsp(self.conds),
+                     StepStats(*(rspec,) * len(StepStats._fields)),
+                     ChunkTrace(*(rspec,) * len(ChunkTrace._fields)))
+        fn = jax.jit(shard_map(local, mesh=self.mesh,
+                               in_specs=in_specs, out_specs=out_specs,
+                               check_rep=False))
+        self._sharded_chunk_cache[key] = fn
+        return fn
+
     def step_chunk(self, n_iters: int, do_migrate: bool):
         """Run n_iters iterations in one compiled call."""
         cfg = self.cfg
@@ -578,6 +709,19 @@ class Sampler:
             self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta)))
             return stats, trace
         if self.buckets > 1:
+            if self.mesh is not None:
+                fn = self._sharded_bucketed_chunk(n_iters, do_migrate,
+                                                  sample_age_mask)
+                (self.gens, self.params, self.lrngs, self.grng,
+                 self.lnlds, self.lnps, self.conds, stats, trace) = fn(
+                    self.gens, self.params, self.seqs, self.lrngs,
+                    self.grng, self.lnlds, self.lnps, self.conds,
+                    self.ft, self.ctx)
+                self.lnld = jnp.concatenate(self.lnlds)
+                self.lnp = jnp.concatenate(self.lnps)
+                self.rate_var += float(np.sum(np.asarray(
+                    stats.rate_var_delta)))
+                return stats, trace
             from gphocs_tpu.sampler.bucketed import mcmc_chunk_buckets
 
             (self.gens, self.params, self.lrngs, self.grng, self.lnlds,
@@ -622,8 +766,10 @@ class Sampler:
             var_rates=cfg.mcmc.mut_rate_mode == 1,
             locus_rate_on=self.ft_search["locus_rate"].value > 0,
             var_alpha=cfg.mcmc.var_rates_alpha,
-            use_fused=(self.use_fused and self.chains == 1
-                       and self.mesh is None),
+            # chains > 1 rides the SAME fused kernels as extra vmap batch
+            # (Pallas prepends a grid axis), so --chains keeps production
+            # speed (round-4 Weak #8)
+            use_fused=(self.use_fused and self.mesh is None),
             fused_interpret=self.fused_interpret,
         )
         self.rate_var += float(np.sum(np.asarray(stats.rate_var_delta))

@@ -245,3 +245,48 @@ def test_debugcheck_vectorized_matches_slow_oracle(data_file):
                            .set(999.0))
         assert int(l) in loci_of(check_gen_state(g, s.params, s.tree))
         assert int(l) in loci_of(check_gen_state_slow(g, s.params, s.tree))
+
+
+def test_multi_chain_fused_matches_single_runs(data_file):
+    """--chains keeps the fused production path (round-4 Weak #8): a
+    2-chain fused run (Pallas kernels vmapped over the chains axis) is
+    BIT-IDENTICAL per chain to two independent single-chain fused runs
+    with the per-chain seeds (base + 7919*c)."""
+    import os
+
+    import jax.numpy as jnp
+
+    os.environ["GPHOCS_FUSED_INTERPRET"] = "1"
+    try:
+        cfg = parse_control_text(SAMPLE_CTL)
+        cfg.mcmc.random_seed = 900
+        cfg.mcmc.start_mig = 0
+        s2 = Sampler(cfg, seq_path=data_file, dtype=jnp.float32,
+                     rng_mode="fast", chains=2)
+        assert s2.use_fused
+        s2.initialize()
+        s2.step_chunk(3, do_migrate=True)
+
+        singles = []
+        for c in range(2):
+            cfg1 = parse_control_text(SAMPLE_CTL)
+            cfg1.mcmc.random_seed = 900 + 7919 * c
+            cfg1.mcmc.start_mig = 0
+            s1 = Sampler(cfg1, seq_path=data_file, dtype=jnp.float32,
+                         rng_mode="fast")
+            assert s1.use_fused
+            s1.initialize()
+            s1.step_chunk(3, do_migrate=True)
+            singles.append(s1)
+    finally:
+        os.environ.pop("GPHOCS_FUSED_INTERPRET", None)
+
+    for c in range(2):
+        np.testing.assert_array_equal(np.asarray(s2.gen.age)[c],
+                                      np.asarray(singles[c].gen.age))
+        np.testing.assert_array_equal(np.asarray(s2.params.theta)[c],
+                                      np.asarray(singles[c].params.theta))
+        np.testing.assert_array_equal(np.asarray(s2.params.tau)[c],
+                                      np.asarray(singles[c].params.tau))
+        np.testing.assert_array_equal(np.asarray(s2.lnld)[c],
+                                      np.asarray(singles[c].lnld))

@@ -119,8 +119,7 @@ def test_cli_mode_gating(tmp_path, capsys):
         cli_main([str(ctl), "--legacy-rng", "--fast-rng"])
     with pytest.raises(SystemExit):
         cli_main([str(ctl), "--buckets", "4", "--legacy-rng"])
-    with pytest.raises(SystemExit):
-        cli_main([str(ctl), "--buckets", "4", "--fast-rng", "--mesh"])
+    # round 5: --buckets composes with --mesh (buckets x mesh shard_map)
     with pytest.raises(SystemExit):
         cli_main([str(ctl), "--buckets", "4", "--fast-rng", "--chains",
                   "2"])
