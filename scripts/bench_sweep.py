@@ -1,6 +1,6 @@
 """Locus-count scaling sweep: it/s and loci*iters/s vs the serial C build.
 
-Run on TPU.  Writes BENCH_SWEEP.json at the repo root and prints a table.
+Run on TPU.  Writes BENCH_SWEEP_r05.json at the repo root and prints a table.
 The C reference is linear in loci (per-iteration work = sum over loci,
 src/GPhoCS.c:2296 omp loops), so c_serial(L) = c_serial(1000) * 1000 / L;
 the TPU build is latency-bound at these model sizes, so its per-iteration
@@ -78,7 +78,7 @@ def main():
     out = dict(device=str(jax.devices()[0]), iters=ITERS, rows=rows,
                c_serial_note="c_serial(L) = measured 67 it/s at 1000 loci "
                              "scaled by 1000/L (C is linear in loci)")
-    with open(os.path.join(root, "BENCH_SWEEP.json"), "w") as f:
+    with open(os.path.join(root, "BENCH_SWEEP_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

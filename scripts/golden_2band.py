@@ -5,7 +5,7 @@ phase integration — the band-interaction code paths (tau bounds from
 multiple windows, per-band stat deltas, multi-band SPR hazard) have a
 committed C gate of their own here.  Runs the PRODUCTION path (fused TPU
 f32 fast-RNG) against the compiled C reference; writes
-GOLDEN_2BAND_r04.json.  Run ON THE TPU HOST:
+GOLDEN_2BAND_r05.json.  Run ON THE TPU HOST:
 
     python scripts/golden_2band.py
 
@@ -55,17 +55,17 @@ def main():
     binary = build_c_reference(work)
     out = run_comparison(
         binary,
-        iters=int(os.environ.get("GC_ITERS", "8000")),
-        n_chains=int(os.environ.get("GC_CHAINS", "6")),
-        burnin=int(os.environ.get("GC_BURNIN", "1000")),
+        iters=int(os.environ.get("GC_ITERS", "16000")),
+        n_chains=int(os.environ.get("GC_CHAINS", "16")),
+        burnin=int(os.environ.get("GC_BURNIN", "1500")),
         nl=int(os.environ.get("GC_LOCI", "80")),
-        jax_chains=int(os.environ.get("GC_JAX_CHAINS", "6")),
+        jax_chains=int(os.environ.get("GC_JAX_CHAINS", "12")),
         ctl_template=CTL_2BAND,
         jax_kwargs=dict(dtype=jnp.float32, rng_mode="fast"),
     )
     out["jax_path"] = "fused TPU f32 fast-RNG, 2 migration bands"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "GOLDEN_2BAND_r04.json"), "w") as f:
+    with open(os.path.join(root, "GOLDEN_2BAND_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     worst = max(abs(r["z"]) for r in out["results"])
     print(f"worst |z| = {worst:.2f}")

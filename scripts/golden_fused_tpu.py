@@ -1,15 +1,16 @@
 """Posterior gate for the PRODUCTION path: fused TPU f32 fast-RNG chains
 vs the compiled C reference on the bundled-sample-shape config.
 
-Round-4 re-proof after fixing the two f32 catastrophic-cancellation
-defects (SPR hazard-inversion prefix, root-pop statistic cap) that made
-GOLDEN_FUSED_r03 fail its own 3.5 gate (docs/DESIGN.md "Round 4").
+Round-5 strengthening (VERDICT Weak #4): 16 C chains x 12 jax chains x
+16k iterations so the migration-rate between-chain SE tightens enough
+that a ~1.5x systematic m bias would fail the 3-sigma gate (the round-4
+gates passed a 2.8x m gap at z=-1.75).
 
 The committed gates (GOLDEN_r02 / *_r03) run the conformance path
 (legacy RNG, f64, CPU).  This gate runs the exact code the benchmark
 measures — whole-sweep Pallas kernels, f32, counter-based RNG — and
 asserts the same between-chain posterior agreement.  Writes
-GOLDEN_FUSED_r04.json.  Run ON THE TPU HOST:
+GOLDEN_FUSED_r05.json.  Run ON THE TPU HOST:
 
     GPHOCS_GOLDEN_BACKEND=tpu python scripts/golden_fused_tpu.py
 """
@@ -35,16 +36,16 @@ def main():
     binary = build_c_reference(work)
     out = run_comparison(
         binary,
-        iters=int(os.environ.get("GC_ITERS", "8000")),
-        n_chains=int(os.environ.get("GC_CHAINS", "6")),
-        burnin=int(os.environ.get("GC_BURNIN", "1000")),
+        iters=int(os.environ.get("GC_ITERS", "16000")),
+        n_chains=int(os.environ.get("GC_CHAINS", "16")),
+        burnin=int(os.environ.get("GC_BURNIN", "1500")),
         nl=int(os.environ.get("GC_LOCI", "100")),
-        jax_chains=int(os.environ.get("GC_JAX_CHAINS", "6")),
+        jax_chains=int(os.environ.get("GC_JAX_CHAINS", "12")),
         jax_kwargs=dict(dtype=jnp.float32, rng_mode="fast"),
     )
     out["jax_path"] = "fused TPU f32 fast-RNG (ops/sweeps_pallas.py)"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "GOLDEN_FUSED_r04.json"), "w") as f:
+    with open(os.path.join(root, "GOLDEN_FUSED_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     worst = max(abs(r["z"]) for r in out["results"])
     print(f"worst |z| = {worst:.2f}")

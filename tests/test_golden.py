@@ -152,6 +152,13 @@ def test_prior_only_posterior_equals_prior():
         ("theta_B", 2.0 / 20000.0 * 10000.0),
         ("theta_root", 2.0 / 20000.0 * 10000.0),
         ("tau_root", 2.0 / 20000.0 * 10000.0),
+        # migration-rate prior gate (round-4 Weak #4: the C gates alone
+        # could not exclude a ~2x m bias): m ~ Gamma(1.5, 10), mean
+        # 0.15, per-band print factor 0.1.  P(G|params) is a normalized
+        # density over genealogies for ANY m, so the prior-only m
+        # marginal is exactly its Gamma prior
+        # (reference UpdateMigRates, src/GPhoCS.c:3115-3212).
+        ("m_A->B", 1.5 / 10.0 * 0.1),
     ]
     for name, expect in checks:
         x = vals[:, idx[name]]
@@ -161,6 +168,9 @@ def test_prior_only_posterior_equals_prior():
         se = bm.std(ddof=1) / np.sqrt(len(bm))
         z = (x.mean() - expect) / max(se, 1e-12)
         assert abs(z) < 4.0, (name, x.mean(), expect, se, z)
+        if name.startswith("m_"):
+            # power guarantee: this gate can see a ~1.5x m bias
+            assert se < 0.2 * expect, ("m gate underpowered", se, expect)
 
 
 SAMPLE_AGE_PRIOR_CTL = """
