@@ -424,7 +424,8 @@ def mcmc_chunk_buckets(gens, params, seqs, lrngs, grng, lnlds, lnps, conds,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
                               admix_coeff=params.admix_coeff,
-                              lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum))
+                              lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum,
+                              admix_in2=jnp.zeros((0, 0), jnp.int8)))
         return (gens, params, lrngs, grng, lnlds, lnps, conds), out
 
     (gens, params, lrngs, grng, lnlds, lnps, conds), (stats_seq, trace) = \

@@ -611,11 +611,16 @@ class Sampler:
                     loci_specs(self.seq), loci_specs(self.lrng),
                     rep_specs(self.grng), lspec, lspec, lspec,
                     rep_specs(self.ft), rep_specs(self.ctx))
+        # trace fields carry a leading iterations axis; admix_in2 is the
+        # only per-locus one ([K, L, A] -> shard axis 1)
+        trace_specs = ChunkTrace(**{
+            f: (P(None, "loci") if f == "admix_in2" else rspec)
+            for f in ChunkTrace._fields})
         out_specs = (loci_specs(self.gen), rep_specs(self.params),
                      loci_specs(self.lrng), rep_specs(self.grng),
                      lspec, lspec, lspec,
                      StepStats(*(rspec,) * len(StepStats._fields)),
-                     ChunkTrace(*(rspec,) * len(ChunkTrace._fields)))
+                     trace_specs)
         fn = jax.jit(shard_map(local_chunk, mesh=self.mesh,
                                in_specs=in_specs, out_specs=out_specs,
                                check_rep=False))
@@ -858,6 +863,8 @@ class Sampler:
             cs_file.write(coal_stats_header(tree, nparts) + "\n")
 
         self._chain_traces = []
+        admix_acc = None
+        admix_count = 0
         counts = AcceptCounts()
         counts.reset(P)
         log_count = 0
@@ -932,12 +939,38 @@ class Sampler:
                         tf.write(row + "\n")
             if tf:
                 tf.flush()
+            if len(tree.admix_slot) and self.chains == 1 \
+                    and tr_np.admix_in2.size:
+                # running per-(sample, locus) admixture assignment means
+                # (reference src/GPhoCS.c:775-790)
+                sel = [j for j in range(n_iters) if iteration + j >= 0]
+                if sel:
+                    if admix_acc is None:
+                        admix_acc = np.zeros(tr_np.admix_in2.shape[1:],
+                                             np.float64)
+                    admix_acc += tr_np.admix_in2[sel].sum(axis=0)
+                    admix_count += len(sel)
 
             iteration = end
             if iteration == cfg.mcmc.start_mig + 1:
                 self._sample_mig_rates_device()
 
             if iteration % spl == 0:
+                if admix_count and trace_path:
+                    # admixture-trace.out twin (reference
+                    # src/GPhoCS.c:1781-1805): one overwritten row —
+                    # iteration, then the running admixture-rate mean per
+                    # (admixed sample, locus), sample-major
+                    apath = os.path.join(
+                        os.path.dirname(trace_path) or ".",
+                        "admixture-trace.out")
+                    with open(apath, "w") as af:
+                        af.write(str(iteration - 1))
+                        for a_ in range(admix_acc.shape[1]):
+                            for l_ in range(admix_acc.shape[0]):
+                                af.write("\t%f" % (
+                                    admix_acc[l_, a_] / admix_count))
+                        af.write("\n")
                 pct = self._percents(counts, log_count, total_coals,
                                      mig_nodes_accum)
                 if progress:

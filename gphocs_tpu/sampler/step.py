@@ -270,6 +270,10 @@ class ChunkTrace(NamedTuple):
     admix_coeff: jnp.ndarray  # [K, A]
     lnld_sum: jnp.ndarray     # [K]
     lnp_sum: jnp.ndarray      # [K]
+    # per-locus admixture assignment (admixed leaf in its second pop),
+    # [K, L, A] int8 — feeds the admixture-trace.out running averages
+    # (reference src/GPhoCS.c:775-790, 1781-1805)
+    admix_in2: jnp.ndarray
 
 
 @functools.partial(
@@ -312,11 +316,15 @@ def mcmc_chunk(gen: GenState, params: Params, seq: SeqData, lrng, grng,
             admix_on=admix_on,
             use_fused=use_fused, spr_on=spr_on, tau_on=tau_on,
             loci_axis=loci_axis, fused_interpret=fused_interpret)
+        in2 = ((gen.node_pop[:, ctx.admix_slot]
+                == ctx.admix_pops[None, :, 1])
+               & gen.valid[:, None]).astype(jnp.int8)
         out = (st, ChunkTrace(theta=params.theta, tau=params.tau,
                               sample_age=params.sample_age,
                               mig_rate=params.mig_rate,
                               admix_coeff=params.admix_coeff,
-                              lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum))
+                              lnld_sum=st.lnld_sum, lnp_sum=st.lnp_sum,
+                              admix_in2=in2))
         return (gen, params, lrng, grng, lnld, lnp, cond), out
 
     (gen, params, lrng, grng, lnld, lnp, cond), (stats_seq, trace) = \

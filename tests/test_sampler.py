@@ -109,9 +109,18 @@ def test_admixture_end_to_end(tmp_path):
 
     cfg.mcmc.random_seed = 5
     cfg.mcmc.mcmc_iterations = 10
+    cfg.mcmc.iterations_per_log = 5
     s = Sampler(cfg, seq_path=path)
-    cols, rows = s.run()
+    cols, rows = s.run(trace_path=str(tmp_path / "mcmc.out"))
     assert any(c.startswith("A0[") or c.startswith("A1[") for c in cols), cols
+    # admixture-trace.out twin (reference src/GPhoCS.c:1781-1805): one
+    # row, iteration + per-(sample, locus) running assignment means
+    atrace = tmp_path / "admixture-trace.out"
+    assert atrace.exists()
+    vals = atrace.read_text().split()
+    # iteration + (2 haploid slots of the admixed diploid) x 10 loci
+    assert len(vals) == 1 + len(s.tree.admix_slot) * 10
+    assert all(0.0 <= float(v) <= 1.0 for v in vals[1:])
     # coefficient stays in (0,1)
     acol = [i for i, c in enumerate(cols) if c.startswith("A")][0]
     assert ((rows[:, acol] > 0) & (rows[:, acol] < 1)).all()
