@@ -35,7 +35,8 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: compile times on shared CI boxes dominate
 # test runtime otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GPHOCS_TEST_CACHE", "/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
