@@ -107,7 +107,7 @@ MIG-BANDS-END
 
 def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
                    nl=100, boost=8.0, jax_chains=None, verbose=True,
-                   ctl_template=None, jax_kwargs=None):
+                   ctl_template=None, jax_kwargs=None, true_mig_rate=None):
     """Build/run pooled C and gphocs_tpu chains on the same simulated data;
     returns a list of per-parameter dicts with means, stds and the
     between-chain z score.  The committed conformance gate
@@ -127,6 +127,14 @@ def run_comparison(binary, iters=8000, n_chains=6, burnin=1000,
     _rng = HostRng(nl + 1, 77)
     tp = sample_pop_parameters(tree, _rng)
     tp = tp._replace(theta=tp.theta * boost, tau=tp.tau * boost)
+    if true_mig_rate is not None:
+        # identifiable-m gate: simulate with a REAL migration rate so the
+        # posterior concentrates and the between-chain SE can resolve a
+        # ~1.5x bias (with m drawn from the heavy-tailed default prior
+        # the true rate is ~0 and chain means ride prior excursions)
+        import numpy as _np
+        tp = tp._replace(mig_rate=_np.full_like(tp.mig_rate,
+                                                true_mig_rate))
     true_params = simulate_seq_file(cfg, tree, seq, num_loci=nl,
                                     seq_len=1000, seed=77, params=tp)
     if verbose:
