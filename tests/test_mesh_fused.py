@@ -26,6 +26,21 @@ from gphocs_tpu.sampler.driver import Sampler
 from tests.test_control import SAMPLE_CTL
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_cache_writes():
+    """Serializing the (interpret-mode, very large) fused shard_map
+    executables into the persistent compilation cache aborts jaxlib
+    (oversized zstd/protobuf serialize); raise the persistence
+    thresholds for this module so nothing qualifies for a cache write."""
+    saved = (jax.config.jax_persistent_cache_min_entry_size_bytes,
+             jax.config.jax_persistent_cache_min_compile_time_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 1 << 62)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", saved[0])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
+
+
 @pytest.fixture(scope="module")
 def data_file(tmp_path_factory):
     from gphocs_tpu.io.simulate import simulate_seq_file
