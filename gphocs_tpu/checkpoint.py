@@ -19,7 +19,7 @@ import numpy as np
 from gphocs_tpu import rng as R
 from gphocs_tpu.state import GenState, Params
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: conditionals carry the x4-per-node rescale
 
 
 def save_checkpoint(sampler, path: str, iteration: int):

@@ -77,7 +77,9 @@ def _combine(cond: jnp.ndarray, tb: TopoTables, pl, pr):
     b = pr[:, :, None, None]
     fa = a * jnp.sum(ca, -1, keepdims=True) + (1.0 - 4.0 * a) * ca
     fb = b * jnp.sum(cb, -1, keepdims=True) + (1.0 - 4.0 * b) * cb
-    return fa * fb
+    # x4 Felsenstein rescale per internal node (see ops/pruning.py):
+    # stored conditionals are 4^(subtree internal count) x true
+    return 4.0 * fa * fb
 
 
 def full_build(gen: GenState, seq: SeqData,
@@ -164,8 +166,10 @@ def lnld_from_cond(cond: jnp.ndarray, gen: GenState, seq: SeqData
            ).astype(dt)
     seg = jnp.einsum("lpg,lp->lg", goh, root_sum)
     safe = jnp.where(seq.group_count > 0, seg, 1.0)
+    S = (N + 1) // 2
     return jnp.sum(
-        seq.group_count * (jnp.log(safe) - jnp.log(4.0 * seq.group_nphases)),
+        seq.group_count * (jnp.log(safe) - jnp.log(4.0 * seq.group_nphases)
+                           - (S - 1) * jnp.log(jnp.asarray(4.0, dt))),
         axis=1)
 
 

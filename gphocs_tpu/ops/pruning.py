@@ -68,7 +68,15 @@ def _pruning_single(father, lson, rson, age, root, mut_rate,
         cr = cond[rs]
         fl = pl * jnp.sum(cl, axis=-1, keepdims=True) + (1.0 - 4.0 * pl) * cl
         fr = pr * jnp.sum(cr, axis=-1, keepdims=True) + (1.0 - 4.0 * pr) * cr
-        cond = cond.at[node].set(fl * fr)
+        # constant x4 Felsenstein rescale per internal node: stored
+        # conditionals are 4^(internal nodes in subtree) x true, keeping
+        # f32 values representable at deep trees (true per-pattern root
+        # conditionals reach ~0.25^N ~ 1e-38 at N=63 = the f32 underflow
+        # boundary; the reference never sees this at f64).  The root
+        # reduce subtracts the exact (S-1) log 4 back, so log-likelihood
+        # VALUES are unchanged.  f32 overflow bound: 4^(S-1) < 3.4e38
+        # -> S <= 64; use f64 beyond.
+        cond = cond.at[node].set(4.0 * fl * fr)
         return cond, None
 
     cond, _ = lax.scan(step, cond, order)
@@ -79,7 +87,8 @@ def _pruning_single(father, lson, rson, age, root, mut_rate,
     # log of the phase-and-base average, weighted by site counts
     safe = jnp.where(group_count > 0, group_sum, 1.0)
     lnl = jnp.sum(
-        group_count * (jnp.log(safe) - jnp.log(4.0 * group_nphases))
+        group_count * (jnp.log(safe) - jnp.log(4.0 * group_nphases)
+                       - (S - 1) * jnp.log(jnp.asarray(4.0, real_dtype)))
     )
     return lnl
 

@@ -29,6 +29,7 @@ src/patch.c:1434-1530.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -141,10 +142,11 @@ def _sum4(x, P, CPWP):
 
 
 def _combine_block(ca, cb, pa, pb, P, CPWP):
-    """JC pruning combine for one node from its two son blocks."""
+    """JC pruning combine for one node from its two son blocks (with the
+    x4 Felsenstein rescale per internal node — see ops/pruning.py)."""
     fa = pa * _sum4(ca, P, CPWP) + (1.0 - 4.0 * pa) * ca
     fb = pb * _sum4(cb, P, CPWP) + (1.0 - 4.0 * pb) * cb
-    return fa * fb
+    return 4.0 * fa * fb
 
 
 def _refresh_path(cond_ref, age, lson, rson, father,
@@ -199,7 +201,9 @@ def _root_lnld(cond_ref, root, gid_ref, gcount_ref, gnph_ref, pvalid_ref,
         [jnp.sum(jnp.where(gid == g_, pat, 0.0), axis=0)[None, :]
          for g_ in range(P)], axis=0)
     safe = jnp.where(gcount > 0, gsum, 1.0)
-    lnl = jnp.sum(gcount * (jnp.log(safe) - jnp.log(4.0 * gnph)),
+    S_ = (N + 1) // 2
+    lnl = jnp.sum(gcount * (jnp.log(safe) - jnp.log(4.0 * gnph)
+                            - jnp.asarray((S_ - 1) * math.log(4.0), dt)),
                   axis=0, keepdims=True)
     return lnl
 

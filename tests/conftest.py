@@ -33,12 +33,17 @@ os.environ["JAX_ENABLE_X64"] = "true"
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
-# persistent compilation cache: compile times on shared CI boxes dominate
-# test runtime otherwise
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("GPHOCS_TEST_CACHE", "/tmp/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# The persistent compilation cache is DISABLED for the suite: this
+# jaxlib's cache-write path (put_executable_and_time -> zstd serialize)
+# aborts/segfaults nondeterministically once enough executables have
+# been compiled in-process (observed on the fused shard_map programs
+# and, after reordering, on unrelated ones).  Set GPHOCS_TEST_CACHE to
+# re-enable at your own risk.
+if os.environ.get("GPHOCS_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["GPHOCS_TEST_CACHE"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 # ---- smoke tier ----------------------------------------------------------
@@ -57,3 +62,9 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.module.__name__ in _SMOKE_MODULES:
             item.add_marker(pytest.mark.smoke)
+    # The interpret-mode shard_map compiles (test_mesh_fused, test_graft)
+    # segfault XLA:CPU when ~35 other compilations precede them in the
+    # same process (compiler-state jaxlib bug; they pass in a fresh
+    # process, with identical inputs).  Run them FIRST.
+    _heavy = {"test_mesh_fused", "test_graft"}
+    items.sort(key=lambda it: 0 if it.module.__name__ in _heavy else 1)
